@@ -1,0 +1,76 @@
+"""L2 core — the shared BWT interface.
+
+Mirrors the reference's ``BWT`` trait (ref: src/msbwt_core.rs:28-161):
+``load_vector``, ``load_numpy_file``, ``get_symbol_count``, ``get_total_size``,
+``constrain_range`` and the default ``count_kmer`` backward-search loop
+(ref: src/msbwt_core.rs:124-161 — asserts all symbols < 6 at :127 and
+early-exits on an empty range at :151-153).
+
+The TPU-native addition over the reference trait is the batched
+``count_kmers`` entry point: a ``[B, K]`` int batch answered in one device
+program (masked fixed-iteration backward search instead of the scalar early
+exit — SURVEY.md §7 layer 3).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from rust_msbwt_tpu.ops.alphabet import VC_LEN
+
+
+@dataclasses.dataclass(frozen=True)
+class BWTRange:
+    """Half-open range [l, h) in the BWT (ref: src/msbwt_core.rs:19-24)."""
+
+    l: int = 0
+    h: int = 0
+
+
+class BWTBase:
+    """Shared query interface for all BWT types."""
+
+    def load_vector(self, bwt: np.ndarray) -> None:
+        raise NotImplementedError
+
+    def load_numpy_file(self, filename: str) -> None:
+        raise NotImplementedError
+
+    def get_symbol_count(self, symbol: int) -> int:
+        raise NotImplementedError
+
+    def get_total_size(self) -> int:
+        raise NotImplementedError
+
+    def constrain_range(self, sym: int, input_range: BWTRange) -> BWTRange:
+        raise NotImplementedError
+
+    def count_kmer(self, kmer) -> int:
+        """Occurrences of an integer-encoded k-mer (ref: src/msbwt_core.rs:124-161)."""
+        kmer = np.asarray(kmer, dtype=np.uint8)
+        assert np.all(kmer < VC_LEN), "k-mer symbols must be < 6"
+        rng = BWTRange(0, self.get_total_size())
+        for c in kmer[::-1]:
+            if rng.h == rng.l:
+                return 0
+            rng = self.constrain_range(int(c), rng)
+        return rng.h - rng.l
+
+    def count_kmers(self, kmers, lengths=None) -> np.ndarray:
+        """Batched ``count_kmer``: ``[B, K]`` right-aligned int k-mers -> ``[B]``.
+
+        Default implementation loops on host; device-backed models override
+        with a single jitted program.
+        """
+        kmers = np.asarray(kmers, dtype=np.uint8)
+        if kmers.ndim == 1:
+            kmers = kmers[None, :]
+        B, K = kmers.shape
+        if lengths is None:
+            lengths = np.full(B, K, dtype=np.int32)
+        out = np.zeros(B, dtype=np.uint64)
+        for i in range(B):
+            out[i] = self.count_kmer(kmers[i, K - int(lengths[i]):])
+        return out

@@ -1,0 +1,245 @@
+"""L2b — the dynamic construction engine.
+
+Same capabilities as the reference's ``DynamicBWT`` (ref: src/dynamic_bwt.rs):
+build a BWT by inserting strings (sorted or chronological), load an existing
+compressed BWT and extend it, iterate symbols/runs, and answer the full query
+interface. The *implementation* is TPU-native: insertions are buffered and
+materialized in batches through the column-wise BCR kernel (``ops.bcr``) —
+one batched device program instead of per-symbol B+-tree updates
+(ref hot loop: src/dynamic_bwt.rs:353-374 over src/rle_bplus_tree.rs:210-248).
+
+Output equivalence (tested against the naive oracle and the reference's
+pinned vectors): batched sorted insertion == the reference's sorted
+insertion; batched chronological insertion == ``insert_string(s, false)``;
+mixed sequences are honored by materializing per same-flag segment in
+arrival order.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Iterator
+
+import numpy as np
+
+from rust_msbwt_tpu.models.core import BWTBase, BWTRange
+from rust_msbwt_tpu.ops import bcr, rank as rank_ops
+from rust_msbwt_tpu.ops.alphabet import VC_LEN, convert_stoi
+from rust_msbwt_tpu.ops.rle import decode_symbols, runs_from_symbols
+from rust_msbwt_tpu.utils.npy import load_bwt_bytes
+
+logger = logging.getLogger("rust_msbwt_tpu")
+
+
+class DynamicBWT(BWTBase):
+    """Construction-capable BWT (ref: src/dynamic_bwt.rs:24-41)."""
+
+    def __init__(self):
+        self._base = np.zeros(0, dtype=np.uint8)  # decoded, materialized BWT
+        self._pending: list[tuple[np.ndarray, bool]] = []  # (read, sorted_flag)
+        self._occ_cache: rank_ops.OccIndex | None = None
+        self._host_cache: dict | None = None
+        # longest read in _base; None == unknown (recovered lazily by LF walk)
+        self._max_read_len: int | None = 0
+
+    # --- insertion (ref: src/dynamic_bwt.rs:305-381) ---
+
+    def insert_string(self, val, sorted: bool) -> None:
+        """Queue a string for insertion; materialized lazily in batches.
+
+        ``sorted=True`` inserts at the lexicographic position, ``False``
+        appends chronologically (ref: src/dynamic_bwt.rs:294-305).
+        """
+        arr = convert_stoi(val) if isinstance(val, (str, bytes)) else np.asarray(
+            val, dtype=np.uint8
+        )
+        if arr.size and arr.min() == 0:
+            raise ValueError("strings must not contain '$' (symbol 0)")
+        self._pending.append((arr, bool(sorted)))
+        self._invalidate()
+
+    def insert_strings(self, vals, sorted: bool) -> None:
+        """Batch insertion entry point (TPU-native extension)."""
+        for v in vals:
+            arr = convert_stoi(v) if isinstance(v, (str, bytes)) else np.asarray(
+                v, dtype=np.uint8
+            )
+            self._pending.append((arr, bool(sorted)))
+        self._invalidate()
+
+    def _invalidate(self):
+        self._occ_cache = None
+        self._host_cache = None
+
+    def _materialize(self) -> None:
+        if not self._pending:
+            return
+        # group consecutive same-flag inserts; each group is one BCR batch
+        groups: list[tuple[bool, list[np.ndarray]]] = []
+        for arr, flag in self._pending:
+            if groups and groups[-1][0] == flag:
+                groups[-1][1].append(arr)
+            else:
+                groups.append((flag, [arr]))
+        for flag, batch in groups:
+            reads, lengths = bcr.encode_reads(batch)
+            base_strings = int(np.count_nonzero(self._base == 0))
+            self._base = bcr.build_msbwt(
+                reads,
+                lengths,
+                sorted_insert=flag,
+                base=self._base,
+                base_string_count=base_strings,
+                base_rot_max=(self._max_read_len + 1)
+                if self._max_read_len is not None
+                else None,
+            )
+            batch_max = int(lengths.max()) if lengths.size else 0
+            if self._max_read_len is None:
+                self._max_read_len = batch_max
+            else:
+                self._max_read_len = max(self._max_read_len, batch_max)
+            logger.info(
+                "Materialized batch: %d strings (%s), BWT size %d",
+                len(batch),
+                "lexicographical" if flag else "chronological",
+                self._base.size,
+            )
+        self._pending.clear()
+
+    # --- loading (ref: src/dynamic_bwt.rs:73-207) ---
+
+    def load_vector(self, bwt) -> None:
+        """Initialize from a compressed RLE byte vector
+        (ref: src/dynamic_bwt.rs:73-118 — there an O(n) reinsert; here one decode)."""
+        self._base = decode_symbols(np.asarray(bwt, dtype=np.uint8))
+        self._pending.clear()
+        self._max_read_len = None  # unknown; recovered by LF walk if extended
+        self._invalidate()
+        logger.info(
+            "Loaded BWT with symbol counts: %s", self.get_symbol_counts().tolist()
+        )
+
+    def load_numpy_file(self, filename: str) -> None:
+        self.load_vector(load_bwt_bytes(filename))
+
+    # --- views (ref: src/dynamic_bwt.rs:393-430) ---
+
+    def to_vec(self) -> np.ndarray:
+        """Decoded BWT, one symbol per entry (ref: src/dynamic_bwt.rs:393-395)."""
+        self._materialize()
+        return self._base.copy()
+
+    def iter(self) -> Iterator[int]:
+        self._materialize()
+        return iter(self._base.tolist())
+
+    def run_iter(self) -> Iterator[tuple[int, int]]:
+        """Maximal runs as (symbol, count) (ref: src/dynamic_bwt.rs:417-430)."""
+        self._materialize()
+        syms, counts = runs_from_symbols(self._base)
+        return zip(syms.tolist(), counts.tolist())
+
+    # --- queries ---
+
+    def _host(self) -> dict:
+        self._materialize()
+        if self._host_cache is None:
+            n = self._base.size
+            counts = np.bincount(self._base, minlength=VC_LEN)[:VC_LEN]
+            csum = np.cumsum(counts)
+            nb = max(1, -(-n // rank_ops.BIN))
+            padded = np.full(nb * rank_ops.BIN, 7, dtype=np.uint8)
+            padded[:n] = self._base
+            per_bin = (
+                padded.reshape(nb, rank_ops.BIN)[:, :, None]
+                == np.arange(VC_LEN, dtype=np.uint8)[None, None, :]
+            ).sum(axis=1)
+            occ = np.vstack([np.zeros((1, VC_LEN), np.int64), np.cumsum(per_bin, 0)])
+            self._host_cache = {
+                "counts": counts.astype(np.uint64),
+                "starts": (csum - counts).astype(np.uint64),
+                "occ": occ,
+                "padded": padded,
+            }
+        return self._host_cache
+
+    @property
+    def device_index(self) -> rank_ops.OccIndex:
+        self._materialize()
+        if self._occ_cache is None:
+            self._occ_cache = rank_ops.build_occ_index(self._base)
+        return self._occ_cache
+
+    def get_symbol_counts(self) -> np.ndarray:
+        """All six symbol totals (ref: src/dynamic_bwt.rs:273-277)."""
+        return self._host()["counts"].copy()
+
+    def get_symbol_count(self, symbol: int) -> int:
+        return int(self._host()["counts"][symbol])
+
+    def get_total_size(self) -> int:
+        self._materialize()
+        return int(self._base.size)
+
+    @property
+    def string_count(self) -> int:
+        return self.get_symbol_count(0)
+
+    def get_height(self) -> int:
+        """Structure-depth telemetry. There is no tree here — the analogue of
+        the reference's B+-tree height (ref: src/dynamic_bwt.rs:279-283) is
+        the constant depth of the two-level occ index."""
+        return 2 if self.get_total_size() else 0
+
+    def get_node_count(self) -> int:
+        """Storage-node telemetry: number of maximal runs (the analogue of
+        the reference's tree node count, ref: src/dynamic_bwt.rs:285-289)."""
+        self._materialize()
+        syms, _ = runs_from_symbols(self._base)
+        return int(syms.size)
+
+    def _rank(self, sym: int, pos: int) -> int:
+        h = self._host()
+        b, r = divmod(int(pos), rank_ops.BIN)
+        base = int(h["occ"][b, sym])
+        if r:
+            w = h["padded"][b * rank_ops.BIN : b * rank_ops.BIN + r]
+            base += int(np.count_nonzero(w == sym))
+        return base
+
+    def constrain_range(self, sym: int, input_range: BWTRange) -> BWTRange:
+        """Two rank queries (ref: src/dynamic_bwt.rs:254-259)."""
+        h = self._host()
+        c = int(h["starts"][sym])
+        return BWTRange(
+            l=c + self._rank(sym, input_range.l),
+            h=c + self._rank(sym, input_range.h),
+        )
+
+    def count_kmers(self, kmers, lengths=None) -> np.ndarray:
+        return rank_ops.count_kmers(self.device_index, kmers, lengths)
+
+
+def create_from_fastx(filenames, sorted: bool = True) -> DynamicBWT:
+    """Build a BWT from FASTX files (ref: src/dynamic_bwt.rs:453-473).
+
+    Files are parsed on host; all records of a file are inserted as one
+    batch (sorted insertion is order-independent, so batching == the
+    reference's record-at-a-time loop).
+    """
+    from rust_msbwt_tpu.utils.fastx import parse_fastx
+
+    bwt = DynamicBWT()
+    logger.info("Creating BWT from FASTX files...")
+    for filename in filenames:
+        logger.info('Loading file "%s"...', filename)
+        seqs = [convert_stoi(s) for s in parse_fastx(filename)]
+        bwt.insert_strings(seqs, sorted)
+        logger.info("Finished loading file with %d sequences.", len(seqs))
+    bwt._materialize()
+    logger.info(
+        "Finished creating BWT, symbol counts: %s",
+        bwt.get_symbol_counts().tolist(),
+    )
+    return bwt

@@ -1,0 +1,167 @@
+"""L2a — the static RLE BWT query engine.
+
+Load-then-query engine with the same observable behavior as the reference's
+``RleBWT`` (ref: src/rle_bwt.rs): loads the ``comp_msbwt.npy`` RLE byte
+vector, computes symbol totals, and answers ``constrain_range`` /
+``count_kmer``. Two index structures are built:
+
+* the **device occurrence index** (``ops.rank.OccIndex``) — fixed-position
+  sampled occ tables + decoded symbols on device; this is the production
+  query path (batched ``count_kmers``).
+* the **parity FM-index** — the reference's run-boundary-sampled
+  ``fm_index``/``ref_index`` structure (ref: src/rle_bwt.rs:387-467,
+  ``index_length = ceil(total/2^bin_power)+1`` at :390; for each bin boundary
+  the first run whose span crosses it is recorded: byte offset at :422,444
+  and per-symbol occurrences before that run at :423-425; final entry holds
+  end-of-BWT totals and ``ref_index = len(bwt)`` at :453-457). Kept because
+  it is part of the reference's observable API surface and pins the exact
+  numeric tables tested at src/rle_bwt.rs:536-599.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from rust_msbwt_tpu.models.core import BWTBase, BWTRange
+from rust_msbwt_tpu.ops import rank as rank_ops
+from rust_msbwt_tpu.ops.alphabet import VC_LEN
+from rust_msbwt_tpu.ops.rle import decode_symbols, runs_from_bytes_with_offsets
+from rust_msbwt_tpu.utils.npy import load_bwt_bytes
+
+
+def build_sampled_fm_index(
+    rle_bytes: np.ndarray, bin_power: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Reference-layout sampled FM-index from RLE bytes (vectorized).
+
+    Returns ``(ref_index [L], fm_index [VC_LEN, L])`` with the exact semantics
+    of ``construct_fmindex`` (ref: src/rle_bwt.rs:387-467): for bin boundary
+    ``p = bin_id * 2^bin_power``, find the first run whose end exceeds ``p``;
+    record its byte offset and the per-symbol counts before its start.
+    """
+    syms, counts, byte_starts = runs_from_bytes_with_offsets(rle_bytes)
+    counts = counts.astype(np.int64)
+    total = int(counts.sum())
+    bin_size = 1 << bin_power
+    index_length = int(np.ceil(total / bin_size)) + 1 if total else 1
+
+    ref_index = np.zeros(index_length, dtype=np.uint64)
+    fm_index = np.zeros((VC_LEN, index_length), dtype=np.uint64)
+    if total == 0:
+        return ref_index, fm_index
+
+    run_ends = np.cumsum(counts)
+    # per-symbol occurrences strictly before each run's start: [R, VC_LEN]
+    one_hot = (syms[:, None] == np.arange(VC_LEN, dtype=np.uint8)[None, :])
+    occ_before = np.zeros((syms.size, VC_LEN), dtype=np.int64)
+    np.cumsum(one_hot * counts[:, None], axis=0, out=occ_before)
+    occ_before = np.vstack([np.zeros((1, VC_LEN), np.int64), occ_before[:-1]])
+
+    boundaries = np.arange(index_length - 1, dtype=np.int64) * bin_size
+    run_idx = np.searchsorted(run_ends, boundaries, side="right")
+    ref_index[:-1] = byte_starts[run_idx].astype(np.uint64)
+    fm_index[:, :-1] = occ_before[run_idx].T.astype(np.uint64)
+
+    # final entry: end-of-BWT totals (ref: src/rle_bwt.rs:453-457)
+    ref_index[-1] = np.asarray(rle_bytes).size
+    fm_index[:, -1] = (occ_before[-1] + one_hot[-1] * counts[-1]).astype(np.uint64)
+    return ref_index, fm_index
+
+
+class RleBWT(BWTBase):
+    """Static query engine over a compressed BWT (ref: src/rle_bwt.rs:14-24)."""
+
+    def __init__(self, bin_power: int = 8):
+        # default bin_power 8 (ref: src/rle_bwt.rs:28-29); configurable like
+        # ``with_bin_power`` (ref: src/rle_bwt.rs:309-322)
+        self.bin_power = bin_power
+        self.bwt = np.zeros(0, dtype=np.uint8)  # RLE bytes
+        self.symbol_counts = np.zeros(VC_LEN, dtype=np.uint64)
+        self.start_index = np.zeros(VC_LEN, dtype=np.uint64)
+        self.end_index = np.zeros(VC_LEN, dtype=np.uint64)
+        self.fm_index = np.zeros((VC_LEN, 1), dtype=np.uint64)
+        self.ref_index = np.zeros(1, dtype=np.uint64)
+        self.total_size = 0
+        self._decoded = np.zeros(0, dtype=np.uint8)
+        self._occ_np = np.zeros((1, VC_LEN), dtype=np.int64)
+        self._device_index: rank_ops.OccIndex | None = None
+
+    @classmethod
+    def with_bin_power(cls, bin_power: int) -> "RleBWT":
+        return cls(bin_power=bin_power)
+
+    # --- loading (ref: src/rle_bwt.rs:59-155,324-348) ---
+
+    def load_vector(self, bwt) -> None:
+        self.bwt = np.asarray(bwt, dtype=np.uint8)
+        self._standard_init()
+
+    def load_numpy_file(self, filename: str) -> None:
+        self.bwt = load_bwt_bytes(filename)
+        self._standard_init()
+
+    def _standard_init(self) -> None:
+        self._decoded = decode_symbols(self.bwt)
+        self.total_size = int(self._decoded.size)
+        # calculate_totals (ref: src/rle_bwt.rs:352-384)
+        self.symbol_counts = np.bincount(
+            self._decoded, minlength=VC_LEN
+        ).astype(np.uint64)
+        csum = np.cumsum(self.symbol_counts)
+        self.start_index = (csum - self.symbol_counts).astype(np.uint64)
+        self.end_index = csum.astype(np.uint64)
+        # parity FM-index (ref layout, ref: src/rle_bwt.rs:387-467)
+        self.ref_index, self.fm_index = build_sampled_fm_index(
+            self.bwt, self.bin_power
+        )
+        # host occ checkpoints for scalar queries
+        n = self.total_size
+        nb = max(1, -(-n // rank_ops.BIN))
+        padded = np.full(nb * rank_ops.BIN, 7, dtype=np.uint8)
+        padded[:n] = self._decoded
+        per_bin = (
+            padded.reshape(nb, rank_ops.BIN)[:, :, None]
+            == np.arange(VC_LEN, dtype=np.uint8)[None, None, :]
+        ).sum(axis=1)
+        self._occ_np = np.vstack(
+            [np.zeros((1, VC_LEN), np.int64), np.cumsum(per_bin, axis=0)]
+        )
+        self._decoded_padded = padded
+        self._device_index = None  # built lazily on first batched query
+
+    @property
+    def device_index(self) -> rank_ops.OccIndex:
+        if self._device_index is None:
+            self._device_index = rank_ops.build_occ_index(
+                self._decoded, self.total_size
+            )
+        return self._device_index
+
+    # --- queries ---
+
+    def get_symbol_count(self, symbol: int) -> int:
+        return int(self.symbol_counts[symbol])
+
+    def get_total_size(self) -> int:
+        return self.total_size
+
+    def _rank(self, sym: int, pos: int) -> int:
+        b, r = divmod(pos, rank_ops.BIN)
+        base = int(self._occ_np[b, sym])
+        if r:
+            w = self._decoded_padded[b * rank_ops.BIN : b * rank_ops.BIN + r]
+            base += int(np.count_nonzero(w == sym))
+        return base
+
+    def constrain_range(self, sym: int, input_range: BWTRange) -> BWTRange:
+        """Result-equivalent to the reference's RLE-decoding scan
+        (ref: src/rle_bwt.rs:202-287)."""
+        c = int(self.start_index[sym])
+        return BWTRange(
+            l=c + self._rank(sym, input_range.l),
+            h=c + self._rank(sym, input_range.h),
+        )
+
+    def count_kmers(self, kmers, lengths=None) -> np.ndarray:
+        """Batched device path — the production query engine."""
+        return rank_ops.count_kmers(self.device_index, kmers, lengths)

@@ -1,0 +1,318 @@
+"""Batched column-wise MSBWT construction (BCR-style) — the TPU-native
+replacement for the reference's dynamic B+-tree insertion.
+
+The reference builds the MSBWT one symbol at a time through a
+pointer-chasing order-statistics B+ tree (ref: src/dynamic_bwt.rs:305-381,
+src/rle_bplus_tree.rs, src/run_block_av_flat.rs). That algorithm is
+inherently sequential. Here we build the *same mathematical object* with a
+batched column-wise algorithm in the BCR / "massively parallel BWT of large
+string sets" family (see PAPERS.md): all N reads advance together, one
+suffix-column per step, and every step is a fixed-shape composition of
+gather, scatter, sort and cumsum that XLA maps onto the TPU vector unit
+inside a single ``lax.fori_loop``.
+
+Correctness contract (proved by the oracle tests): the reference's *sorted*
+insertion makes the output independent of input order — each string lands at
+its lexicographic position (SURVEY.md §2; ref test src/dynamic_bwt.rs:515-525
+feeds strings in non-lexicographic order and still matches ``naive_bwt``).
+Ties between equal suffixes of different reads break by comparing the full
+read cyclically, which equals ordering the reads' terminators by the reads'
+lexicographic order. Hence: sort the reads, then run column-wise insertion
+with terminator ranks = sorted read ranks == byte-identical output.
+
+The same kernel implements *chronological* ("unsorted") insertion — terminator
+ranks = arrival order (ref: src/dynamic_bwt.rs:350-351) — and *incremental
+extension* of an existing BWT (the reference's load-and-add flow,
+ref: src/dynamic_bwt.rs:734-773): the existing decoded BWT seeds the buffer
+and the new batch's terminator positions come from a batched full backward
+search (the reference's insertion-point search, ref: src/dynamic_bwt.rs:311-348,
+without the adaptive short-circuit heuristic — batching amortizes what the
+short-circuit was saving).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rust_msbwt_tpu.ops.alphabet import VC_LEN
+from rust_msbwt_tpu.ops.rank import BIN, OccIndex, build_occ_index
+from rust_msbwt_tpu.ops.rank import rank as _rank
+
+_PAD = 7  # padding symbol for the BWT buffer (never matches 0..5)
+
+
+# ---------------------------------------------------------------------------
+# host-facing API
+# ---------------------------------------------------------------------------
+
+def encode_reads(reads: list[np.ndarray]) -> tuple[np.ndarray, np.ndarray]:
+    """Pack variable-length int-encoded reads into ``([N, Lmax] u8, [N] i32)``.
+
+    Rows are zero-padded; since ``$`` == 0, a zero-padded row compares exactly
+    like ``s + '$'`` — which makes plain row-wise lexsort the correct read
+    order for sorted insertion.
+    """
+    n = len(reads)
+    lengths = np.array([len(r) for r in reads], dtype=np.int32)
+    lmax = int(lengths.max()) if n else 0
+    packed = np.zeros((n, max(lmax, 1)), dtype=np.uint8)
+    for i, r in enumerate(reads):
+        arr = np.asarray(r, dtype=np.uint8)
+        if arr.size and arr.min() == 0:
+            raise ValueError("reads must not contain interior '$' (symbol 0)")
+        packed[i, : arr.size] = arr
+    return packed, lengths
+
+
+def sort_reads(reads: np.ndarray, lengths: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Lexicographic read sort (row-wise over the 0-padded matrix)."""
+    order = np.lexsort(reads.T[::-1])
+    return reads[order], lengths[order]
+
+
+def build_msbwt(
+    reads: np.ndarray,
+    lengths: np.ndarray,
+    sorted_insert: bool = True,
+    base: np.ndarray | None = None,
+    base_string_count: int = 0,
+    base_rot_max: int | None = None,
+) -> np.ndarray:
+    """Construct (or extend) an MSBWT. Returns the decoded BWT (uint8 [n]).
+
+    * ``sorted_insert=True``  == reference ``insert_string(s, true)`` batch
+    * ``sorted_insert=False`` == chronological insertion (terminators in
+      arrival order, ref: src/dynamic_bwt.rs:350-351)
+    * ``base``                == decoded BWT to extend (load-and-add flow)
+    """
+    reads = np.asarray(reads, dtype=np.uint8)
+    lengths = np.asarray(lengths, dtype=np.int32)
+    N = reads.shape[0]
+    if base is None:
+        base = np.zeros(0, dtype=np.uint8)
+    base = np.asarray(base, dtype=np.uint8)
+    n0 = int(base.size)
+    if N == 0:
+        return base.copy()
+
+    if sorted_insert:
+        reads, lengths = sort_reads(reads, lengths)
+        if n0 == 0:
+            base_pos = np.zeros(N, dtype=np.int32)
+        else:
+            base_index = build_occ_index(jnp.asarray(base), n0)
+            if base_rot_max is None:
+                base_rot_max = int(
+                    read_lengths_from_bwt(base_index, base_string_count).max()
+                ) + 1
+            base_pos = np.asarray(
+                terminator_positions(base_index, reads, lengths, base_rot_max)
+            )
+        # new-coordinate slots: each earlier batch read occupies one slot first
+        q1 = base_pos + np.arange(N, dtype=np.int32)
+    else:
+        q1 = base_string_count + np.arange(N, dtype=np.int32)
+
+    n_cap = n0 + int(lengths.sum()) + N
+    if n_cap >= 2**31:
+        raise ValueError("single-device build limited to 2^31-1 symbols; use parallel/")
+    L = int(reads.shape[1])
+    base_counts = np.bincount(base, minlength=VC_LEN)[:VC_LEN].astype(np.int32)
+    n_strings_total = base_string_count + N
+
+    out = _bcr_insert(
+        jnp.asarray(base),
+        jnp.asarray(q1),
+        jnp.asarray(reads),
+        jnp.asarray(lengths),
+        jnp.asarray(base_counts),
+        n0=n0,
+        n_cap=n_cap,
+        L=L,
+        n_strings_total=n_strings_total,
+    )
+    return np.asarray(out)
+
+
+# ---------------------------------------------------------------------------
+# device kernels
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("n0", "n_cap", "L", "n_strings_total"))
+def _bcr_insert(base, q1, reads, lengths, base_counts, *, n0, n_cap, L, n_strings_total):
+    N = reads.shape[0]
+    NB = -(-n_cap // BIN)
+    n_pad = NB * BIN
+    arange_cap = jnp.arange(n_cap, dtype=jnp.int32)
+    arange_pad = jnp.arange(n_pad, dtype=jnp.int32)
+
+    def rebuild_occ(cur, n_valid):
+        chunks = cur.reshape(NB, BIN)
+        valid = arange_pad.reshape(NB, BIN) < n_valid
+        per_bin = jnp.sum(
+            (chunks[:, :, None] == jnp.arange(VC_LEN, dtype=jnp.uint8)[None, None, :])
+            & valid[:, :, None],
+            axis=1,
+            dtype=jnp.int32,
+        )
+        return jnp.concatenate(
+            [jnp.zeros((1, VC_LEN), jnp.int32),
+             jnp.cumsum(per_bin, axis=0, dtype=jnp.int32)]
+        )
+
+    def insert(cur, n_valid, q, v, active):
+        """Merge-insert values ``v`` at new-coordinate slots ``q`` (masked).
+
+        Old element at position p shifts to p + #{active slots with
+        old-coordinate insertion point <= p}; the sorted active slots' old
+        coordinates are ``sort(q)[k] - k``.
+        """
+        m = jnp.sum(active.astype(jnp.int32))
+        big = jnp.int32(n_pad)  # out-of-bounds for every scatter target below
+        qs = jnp.sort(jnp.where(active, q, big))
+        k = jnp.arange(N, dtype=jnp.int32)
+        t = jnp.where(k < m, qs - k, big)
+        delta = jnp.zeros(n_cap, jnp.int32).at[t].add(1, mode="drop")
+        shift = jnp.cumsum(delta, dtype=jnp.int32)
+        new_cur = jnp.full(n_pad, _PAD, jnp.uint8)
+        src_dest = jnp.where(arange_cap < n_valid, arange_cap + shift, big)
+        new_cur = new_cur.at[src_dest].set(cur[:n_cap], mode="drop")
+        act_q = jnp.where(active, q, big)
+        new_cur = new_cur.at[act_q].set(v, mode="drop")
+        return new_cur, n_valid + m
+
+    # --- stage 1: last characters at precomputed terminator slots ---
+    cur = jnp.full(n_pad, _PAD, jnp.uint8)
+    cur = cur.at[:n0].set(base[:n0]) if n0 else cur
+    last_idx = jnp.clip(lengths - 1, 0, L - 1)
+    v1 = jnp.where(
+        lengths > 0,
+        jnp.take_along_axis(reads, last_idx[:, None], axis=1)[:, 0],
+        jnp.uint8(0),
+    )
+    cur, n_valid = insert(cur, jnp.int32(n0), q1, v1, jnp.ones(N, bool))
+    occ = rebuild_occ(cur, n_valid)
+    counts = base_counts.at[v1].add(1)
+    P = q1
+    prev_v = v1
+
+    def stage(j, carry):
+        cur, occ, P, counts, prev_v, n_valid = carry
+        active = j <= lengths + 1
+        idx = lengths - j
+        v = jnp.where(
+            idx >= 0,
+            jnp.take_along_axis(reads, jnp.clip(idx, 0, L - 1)[:, None], axis=1)[:, 0],
+            jnp.uint8(0),
+        )
+        f = prev_v.astype(jnp.int32)
+        # rank of f at position P over the current buffer
+        b = P // BIN
+        base_r = occ[b, f]
+        window = cur[(b[:, None] * BIN + jnp.arange(BIN, dtype=jnp.int32)[None, :])]
+        local = jnp.sum(
+            (window == prev_v[:, None])
+            & (jnp.arange(BIN, dtype=jnp.int32)[None, :] < (P % BIN)[:, None]),
+            axis=1,
+            dtype=jnp.int32,
+        )
+        # C[f] = #rotations whose first char < f: every string contributes a
+        # '$' rotation ('$' occurrences in the buffer belong to full rotations
+        # and must NOT be counted here); chars 1..f-1 contribute their buffer
+        # occurrence counts. cvec[0] = 0, cvec[f>=1] = n_strings + sum(counts[1:f]).
+        cs = jnp.cumsum(counts, dtype=jnp.int32)
+        cvec = jnp.concatenate(
+            [jnp.zeros(1, jnp.int32),
+             jnp.int32(n_strings_total) + (cs[:-1] - counts[0])]
+        )
+        q = cvec[f] + base_r + local
+        cur, n_valid = insert(cur, n_valid, q, v, active)
+        occ = rebuild_occ(cur, n_valid)
+        P = jnp.where(active, q, P)
+        counts = counts.at[v].add(active.astype(jnp.int32))
+        prev_v = jnp.where(active, v, prev_v)
+        return cur, occ, P, counts, prev_v, n_valid
+
+    cur, occ, P, counts, prev_v, n_valid = jax.lax.fori_loop(
+        2, L + 2, stage, (cur, occ, P, counts, prev_v, n_valid)
+    )
+    return cur[:n_cap]
+
+
+@functools.partial(jax.jit, static_argnames=("n", "t_total"))
+def _terminator_positions_impl(bwt, occ, starts, n, reads, lengths, steps, t_total):
+    """Batched *cyclic* backward search: the true rotation-order rank of each
+    new read's terminator rotation among the existing terminator rotations.
+
+    The reference's insertion-point search walks the finite read once
+    (ref: src/dynamic_bwt.rs:311-331) and compensates for terminator ties
+    through its sequential update order. A batched builder needs the true
+    cyclic rank directly, so we backward-search the pattern ``('$'+S)``
+    repeated until it is longer than any existing rotation's period plus the
+    new read's period (Fine–Wilf: two distinct periodic sequences must differ
+    within the sum of their periods). Each read processes ``steps[i]`` LF
+    steps — a whole number of cycles, so the walk ends on a '$' step and the
+    running upper bound is the terminator rank.
+    """
+    index = OccIndex(bwt=bwt, occ=occ, starts=starts, n=n)
+    N, L = reads.shape
+    pos = jnp.full(N, n, jnp.int32)
+    m = lengths + 1  # cycle length of '$' + S
+
+    def step(t, pos):
+        active = t < steps
+        # pattern processed right-to-left: step t handles cycle index
+        # (len - t) mod m; index 0 is '$', index k is S[k-1]
+        r = jnp.mod(lengths - t, m)
+        sym = jnp.where(
+            r == 0,
+            jnp.int32(0),
+            jnp.take_along_axis(
+                reads, jnp.clip(r - 1, 0, L - 1)[:, None], axis=1
+            )[:, 0].astype(jnp.int32),
+        )
+        new_pos = index.starts[sym] + _rank(index, sym, pos)
+        return jnp.where(active, new_pos, pos)
+
+    return jax.lax.fori_loop(0, t_total, step, pos)
+
+
+def read_lengths_from_bwt(index: OccIndex, n_strings: int) -> np.ndarray:
+    """Recover each string's length from a BWT by LF-walking backwards from
+    every terminator rotation (rows 0..n_strings-1) until the '$' closes the
+    cycle. Vectorized over all strings; host loop bounded by the longest read."""
+    if n_strings == 0:
+        return np.zeros(0, dtype=np.int32)
+    pos = jnp.arange(n_strings, dtype=jnp.int32)
+    done = np.zeros(n_strings, dtype=bool)
+    lengths = np.zeros(n_strings, dtype=np.int32)
+    while not done.all():
+        sym = np.asarray(index.bwt[pos])
+        done_now = (sym == 0) | done
+        lengths += (~done_now).astype(np.int32)
+        sym_j = jnp.asarray(np.where(done_now, 0, sym).astype(np.int32))
+        pos = index.starts[sym_j] + _rank(index, sym_j, pos)
+        done = done_now
+    return lengths
+
+
+def terminator_positions(index: OccIndex, reads, lengths, base_rot_max: int):
+    """Terminator-rotation ranks for a batch of new reads vs an existing BWT.
+
+    ``base_rot_max`` must be >= the longest rotation (read length + 1)
+    present in the base BWT.
+    """
+    lengths = jnp.asarray(lengths, dtype=jnp.int32)
+    reads = jnp.asarray(reads)
+    m = lengths + 1
+    reps = -(-jnp.int32(base_rot_max) // m) + 1
+    steps = reps * m
+    L = int(reads.shape[1])
+    t_total = int(base_rot_max) + 2 * (L + 1)
+    return _terminator_positions_impl(
+        index.bwt, index.occ, index.starts, index.n, reads, lengths, steps, t_total
+    )

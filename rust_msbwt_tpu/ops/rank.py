@@ -1,0 +1,151 @@
+"""Device rank engine: sampled occurrence tables + batched LF backward search.
+
+This is the TPU-native replacement for the reference's query hot loop
+(``RleBWT::constrain_range``, ref: src/rle_bwt.rs:202-287): instead of
+decoding <=1 bin of RLE bytes per rank on a scalar CPU, we hold the decoded
+BWT on device next to occurrence checkpoints sampled at FIXED positions
+(an internal representation change — only query *results* must match the
+reference, SURVEY.md §7 layer 2) and answer a rank with one table gather
+plus a fixed-width in-bin reduction. Batches of k-mers run as one jitted
+program: ``k`` masked LF steps, two ranks per step
+(ref semantics: src/msbwt_core.rs:124-161).
+
+All arrays are int32-indexed; ``build_occ_index`` rejects BWTs with more than
+2**31 - 1 symbols (the sharded path in ``parallel/`` is the scale-out story).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rust_msbwt_tpu.ops.alphabet import VC_LEN
+
+BIN = 128  # occurrence checkpoint spacing (positions)
+_PAD_SYMBOL = 7  # never matches a real symbol (0..5)
+
+
+class OccIndex(NamedTuple):
+    """Device-resident rank index over a decoded BWT."""
+
+    bwt: jax.Array      # uint8 [nb * BIN] decoded symbols, padded with 7
+    occ: jax.Array      # int32 [nb + 1, 6] counts of each symbol before bin start
+    starts: jax.Array   # int32 [VC_LEN + 1] C-array: starts[c] = # symbols < c
+    n: int              # true BWT length (static python int)
+
+    @property
+    def counts(self) -> jax.Array:
+        return self.occ[-1]
+
+
+def build_occ_index(decoded, n: int | None = None) -> OccIndex:
+    """Build the occurrence index from a decoded symbol array (device, one pass).
+
+    Equivalent information to ``calculate_totals`` + ``construct_fmindex``
+    (ref: src/rle_bwt.rs:352-467) but sampled at fixed positions and computed
+    with reshape + reduce + cumsum instead of a sequential byte walk.
+    """
+    decoded = jnp.asarray(decoded, dtype=jnp.uint8)
+    if n is None:
+        n = int(decoded.shape[0])
+    if n >= 2**31:
+        raise ValueError("single-device OccIndex limited to 2^31-1 symbols; use parallel/")
+    nb = max(1, -(-n // BIN))
+    pad = nb * BIN - n
+    bwt = jnp.pad(decoded[:n], (0, pad), constant_values=_PAD_SYMBOL)
+    chunks = bwt.reshape(nb, BIN)
+    # [nb, 6] per-bin symbol histogram; XLA fuses the compare+reduce
+    per_bin = jnp.sum(
+        chunks[:, :, None] == jnp.arange(VC_LEN, dtype=jnp.uint8)[None, None, :],
+        axis=1,
+        dtype=jnp.int32,
+    )
+    occ = jnp.concatenate(
+        [jnp.zeros((1, VC_LEN), jnp.int32), jnp.cumsum(per_bin, axis=0, dtype=jnp.int32)]
+    )
+    totals = occ[-1]
+    starts = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(totals, dtype=jnp.int32)]
+    )
+    return OccIndex(bwt=bwt, occ=occ, starts=starts, n=n)
+
+
+def rank(index: OccIndex, sym: jax.Array, pos: jax.Array) -> jax.Array:
+    """Batched rank: occurrences of ``sym[i]`` in ``bwt[0:pos[i]]``.
+
+    occ-checkpoint gather + masked in-bin window sum — the exact analogue of
+    the reference's fm_index[bin] seed + linear run decode
+    (ref: src/rle_bwt.rs:204-244), with the run decode replaced by a
+    fixed-width vectorized window reduction.
+    """
+    sym = jnp.asarray(sym, dtype=jnp.int32)
+    pos = jnp.asarray(pos, dtype=jnp.int32)
+    b = pos // BIN
+    base = index.occ[b, sym]
+    window = index.bwt[b[:, None] * BIN + jnp.arange(BIN, dtype=jnp.int32)[None, :]]
+    in_range = jnp.arange(BIN, dtype=jnp.int32)[None, :] < (pos % BIN)[:, None]
+    local = jnp.sum(
+        (window == sym[:, None].astype(jnp.uint8)) & in_range, axis=1, dtype=jnp.int32
+    )
+    return base + local
+
+
+def constrain_range(
+    index: OccIndex, sym: jax.Array, lo: jax.Array, hi: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """Batched LF step: [l, h) -> range of ``sym`` + k-mer
+    (result-equivalent to ref: src/rle_bwt.rs:202-287)."""
+    sym = jnp.asarray(sym, dtype=jnp.int32)
+    both = rank(index, jnp.concatenate([sym, sym]), jnp.concatenate([lo, hi]))
+    c = index.starts[sym]
+    B = lo.shape[0]
+    return c + both[:B], c + both[B:]
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def _count_kmers_impl(bwt, occ, starts, n, kmers, lengths):
+    index = OccIndex(bwt=bwt, occ=occ, starts=starts, n=n)
+    B, K = kmers.shape
+    lo = jnp.zeros(B, jnp.int32)
+    hi = jnp.full(B, n, jnp.int32)
+
+    def step(t, carry):
+        lo, hi = carry
+        col = K - 1 - t
+        sym = kmers[:, col].astype(jnp.int32)
+        # right-aligned k-mers: column is active while t < length
+        active = t < lengths
+        new_lo, new_hi = constrain_range(index, jnp.where(active, sym, 0), lo, hi)
+        lo = jnp.where(active, new_lo, lo)
+        hi = jnp.where(active, new_hi, hi)
+        return lo, hi
+
+    lo, hi = jax.lax.fori_loop(0, K, step, (lo, hi))
+    return (hi - lo).astype(jnp.int64) if n >= 2**31 else hi - lo
+
+
+def count_kmers(index: OccIndex, kmers, lengths=None) -> np.ndarray:
+    """Batched ``count_kmer``: ``[B, K]`` right-aligned int8 k-mers -> counts.
+
+    A masked fixed-iteration loop replaces the reference's empty-range early
+    exit (ref: src/msbwt_core.rs:151-153) — an empty range stays empty under
+    further LF steps, so masking is exact.
+    """
+    kmers = np.asarray(kmers, dtype=np.uint8)
+    if kmers.ndim == 1:
+        kmers = kmers[None, :]
+    if not np.all(kmers < VC_LEN):
+        raise AssertionError("k-mer symbols must be < 6")
+    B, K = kmers.shape
+    if lengths is None:
+        lengths = np.full(B, K, dtype=np.int32)
+    lengths = np.asarray(lengths, dtype=np.int32)
+    out = _count_kmers_impl(
+        index.bwt, index.occ, index.starts, index.n,
+        jnp.asarray(kmers), jnp.asarray(lengths),
+    )
+    return np.asarray(out)

@@ -1,0 +1,143 @@
+"""L1 — the RLE byte-stream codec (vectorized, numpy host-side).
+
+Format contract (ref: src/bwt_converter.rs:53-56,163-168; decoder semantics at
+src/rle_bwt.rs:360-371): each byte = ``symbol (low 3 bits) | count_digit << 3``
+with ``count_digit in [0, 31]``. A run's count is emitted as little-endian
+base-32 digits, one byte per digit, every byte carrying the SAME symbol; a
+decoder treats consecutive same-symbol bytes as a single run accumulated with
+``power_multiple *= 32``. Zero digits are legal interior/leading digits
+(``"A"*3104 -> [1, 9, 25]``, ref test src/bwt_converter.rs:220-227). Encoders
+never merge across differing adjacent runs and assume the input run iterator
+has no two consecutive runs with equal symbol (ref: src/bwt_converter.rs:136).
+
+Everything here is vectorized numpy — these run on host as part of load/save;
+the device query/build paths use the decoded representations.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from rust_msbwt_tpu.ops.alphabet import (
+    COUNT_MASK,
+    LETTER_BITS,
+    MASK,
+    NUM_POWER,
+    VC_LEN,
+)
+
+_MAX_DIGITS = 13  # ceil(64 / 5): a u64 count has at most 13 base-32 digits
+
+
+def runs_from_bytes(rle: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Decode RLE bytes into maximal runs ``(symbols u8[R], counts u64[R])``.
+
+    Consecutive bytes with the same symbol are one run with base-32
+    little-endian digit accumulation (ref: src/rle_bwt.rs:360-371).
+    """
+    rle = np.asarray(rle, dtype=np.uint8)
+    if rle.size == 0:
+        return np.zeros(0, dtype=np.uint8), np.zeros(0, dtype=np.uint64)
+    syms = rle & MASK
+    digits = (rle >> LETTER_BITS).astype(np.uint64)
+    is_start = np.empty(rle.size, dtype=bool)
+    is_start[0] = True
+    np.not_equal(syms[1:], syms[:-1], out=is_start[1:])
+    starts = np.flatnonzero(is_start)
+    group_id = np.cumsum(is_start) - 1
+    k = np.arange(rle.size, dtype=np.uint64) - starts[group_id].astype(np.uint64)
+    contrib = digits << (np.uint64(5) * k)  # wraps mod 2**64 like the reference
+    counts = np.add.reduceat(contrib, starts)
+    return syms[starts], counts.astype(np.uint64)
+
+
+def runs_from_bytes_with_offsets(
+    rle: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Like ``runs_from_bytes`` but also returns each run's byte offset
+    (needed by the run-boundary-sampled FM-index parity structure,
+    ref: src/rle_bwt.rs:421-444)."""
+    rle = np.asarray(rle, dtype=np.uint8)
+    if rle.size == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return np.zeros(0, dtype=np.uint8), np.zeros(0, dtype=np.uint64), z
+    syms = rle & MASK
+    is_start = np.empty(rle.size, dtype=bool)
+    is_start[0] = True
+    np.not_equal(syms[1:], syms[:-1], out=is_start[1:])
+    starts = np.flatnonzero(is_start)
+    run_syms, run_counts = runs_from_bytes(rle)
+    return run_syms, run_counts, starts.astype(np.int64)
+
+
+def bytes_from_runs(syms: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Encode maximal runs into RLE bytes (ref: src/bwt_converter.rs:161-169).
+
+    Each count >= 1 becomes little-endian base-32 digits; every digit byte
+    carries the run's symbol. Assumes no two consecutive runs share a symbol.
+    """
+    syms = np.asarray(syms, dtype=np.uint8)
+    counts = np.asarray(counts, dtype=np.uint64)
+    if syms.size == 0:
+        return np.zeros(0, dtype=np.uint8)
+    if counts.min() < 1:
+        raise ValueError("run counts must be >= 1")
+    shifts = np.uint64(5) * np.arange(_MAX_DIGITS, dtype=np.uint64)
+    shifted = counts[:, None] >> shifts[None, :]          # [R, 13]
+    mask = shifted > 0                                    # monotone: keeps interior zero digits
+    mask[:, 0] = True                                     # count>=1 always emits >=1 byte
+    digit = (shifted & np.uint64(COUNT_MASK)).astype(np.uint8)
+    byte = syms[:, None] | (digit << LETTER_BITS)
+    return byte[mask]  # row-major flatten == little-endian digit order per run
+
+
+def runs_from_symbols(decoded: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Extract maximal runs from a decoded symbol array."""
+    decoded = np.asarray(decoded, dtype=np.uint8)
+    if decoded.size == 0:
+        return np.zeros(0, dtype=np.uint8), np.zeros(0, dtype=np.uint64)
+    is_start = np.empty(decoded.size, dtype=bool)
+    is_start[0] = True
+    np.not_equal(decoded[1:], decoded[:-1], out=is_start[1:])
+    starts = np.flatnonzero(is_start)
+    lengths = np.diff(np.append(starts, decoded.size)).astype(np.uint64)
+    return decoded[starts], lengths
+
+
+def decode_symbols(rle: np.ndarray) -> np.ndarray:
+    """Fully decode RLE bytes into the flat symbol array (uint8)."""
+    syms, counts = runs_from_bytes(rle)
+    return np.repeat(syms, counts.astype(np.int64))
+
+
+def symbol_counts_from_bytes(rle: np.ndarray) -> np.ndarray:
+    """Total occurrences of each symbol, from the compressed form
+    (equivalent of ``calculate_totals``, ref: src/rle_bwt.rs:352-384)."""
+    syms, counts = runs_from_bytes(rle)
+    totals = np.zeros(VC_LEN, dtype=np.uint64)
+    np.add.at(totals, syms, counts)
+    return totals
+
+
+def convert_to_vec(stream) -> np.ndarray:
+    """Char stream -> compressed RLE byte vector (ref: src/bwt_converter.rs:26-80).
+
+    Accepts ``bytes``/``str``/uint8 array of ``$ACGNT`` characters; newline
+    bytes are ignored (including mid-run: a run continues across a newline,
+    ref test src/bwt_converter.rs:209-217); any other byte is an error.
+    """
+    if isinstance(stream, str):
+        stream = stream.encode("latin-1")
+    raw = np.frombuffer(bytes(stream), dtype=np.uint8) if not isinstance(
+        stream, np.ndarray
+    ) else np.asarray(stream, dtype=np.uint8)
+    raw = raw[raw != 0x0A]  # drop newlines (ref: src/bwt_converter.rs:42-47)
+    translate = np.full(256, 255, dtype=np.uint8)
+    for i, ch in enumerate(b"$ACGNT"):
+        translate[ch] = i
+    translated = translate[raw]
+    if np.any(translated == 255):
+        bad = raw[translated == 255][0]
+        raise ValueError(f'Unexpected symbol in input: char "{chr(bad)}"')
+    syms, counts = runs_from_symbols(translated)
+    return bytes_from_runs(syms, counts)

@@ -1,0 +1,115 @@
+"""Construction-kernel tests: BCR batched build vs the naive oracle.
+
+Mirrors the reference's oracle-based construction tests
+(src/dynamic_bwt.rs:475-577) plus randomized sweeps.
+"""
+
+import numpy as np
+
+from rust_msbwt_tpu.ops.alphabet import convert_itos, convert_stoi
+from rust_msbwt_tpu.ops.bcr import build_msbwt, encode_reads
+from rust_msbwt_tpu.utils.oracle import naive_bwt
+
+
+def _build(strings, sorted_insert=True, base=None, base_string_count=0):
+    reads, lengths = encode_reads([convert_stoi(s) for s in strings])
+    return build_msbwt(
+        reads, lengths, sorted_insert=sorted_insert,
+        base=base, base_string_count=base_string_count,
+    )
+
+
+def _check_vs_naive(strings):
+    got = convert_itos(_build(strings))
+    assert got == naive_bwt(strings), f"inputs={strings}"
+
+
+def test_single_string():
+    # ref: src/dynamic_bwt.rs:490-496 (unsorted single == sorted single)
+    out = _build(["ACGNT"], sorted_insert=False)
+    assert out.tolist() == [5, 0, 1, 2, 3, 4]
+    _check_vs_naive(["ACGNT"])
+
+
+def test_multi_string_sorted_order_independent():
+    # ref: src/dynamic_bwt.rs:514-525 — non-lexicographic input order
+    data = ["ACG", "N", "CCGT", "N", "ACG", "ACG", "CCGT", "N"]
+    _check_vs_naive(data)
+
+
+def test_multi_string_unsorted_chronological():
+    # ref: src/dynamic_bwt.rs:498-512 — unsorted inserts of pre-sorted data
+    data = sorted(["CCGT", "ACG", "N"])
+    out = _build(data, sorted_insert=False)
+    assert convert_itos(out) == "GTN$$ACCC$G"
+
+
+def test_multi_length():
+    # ref: src/dynamic_bwt.rs:527-548
+    _check_vs_naive(["A", "AA", "AAA", "AAAA", "AAAAA"])
+    _check_vs_naive(["AAAAA", "AAAA", "AAA", "AA", "A"])
+
+
+def test_cycle_semantics():
+    # suffix ties must break by full cyclic read comparison (src/bwt_util.rs:221-236)
+    _check_vs_naive(["ACA", "CA"])
+    _check_vs_naive(["CA", "ACA"])
+
+
+def test_empty_and_tiny_strings():
+    _check_vs_naive([""])
+    _check_vs_naive(["", "A"])
+    _check_vs_naive(["A", "", "AA"])
+
+
+def test_duplicates():
+    _check_vs_naive(["ACGT", "ACGT", "ACGT"])
+
+
+def test_sampled_genome():
+    # ref: src/dynamic_bwt.rs:550-577 — 32x coverage reads from a 56bp genome
+    genome = "ACCGTGTTGCCGTAGTGAAAAGTGACGACGTGAGATGGCCAAAGTGGGTCTCTGTG"
+    read_length, coverage = 20, 32
+    data = []
+    for s in range(len(genome) - read_length):
+        data.extend([genome[s : s + read_length]] * coverage)
+    _check_vs_naive(data)
+
+
+def test_incremental_extension():
+    # ref load-and-add flow: src/dynamic_bwt.rs:734-773
+    first = ["CCGTACGTA", "GGTACAGTA", "ACGACGACG"]
+    base = _build(first)
+    extended = _build(["AAGTCATAT"], base=base, base_string_count=3)
+    assert convert_itos(extended) == naive_bwt(first + ["AAGTCATAT"])
+
+
+def test_incremental_extension_batch():
+    first = ["TTGA", "CAT"]
+    base = _build(first)
+    extended = _build(["GG", "AC", "CATT"], base=base, base_string_count=2)
+    assert convert_itos(extended) == naive_bwt(first + ["GG", "AC", "CATT"])
+
+
+def test_random_collections(rng):
+    alphabet = "ACGNT"
+    for trial in range(15):
+        n_reads = int(rng.integers(1, 30))
+        data = [
+            "".join(rng.choice(list(alphabet), size=int(rng.integers(1, 25))))
+            for _ in range(n_reads)
+        ]
+        _check_vs_naive(data)
+
+
+def test_random_incremental(rng):
+    alphabet = "ACGT"
+    for trial in range(8):
+        all_reads = [
+            "".join(rng.choice(list(alphabet), size=int(rng.integers(1, 15))))
+            for _ in range(int(rng.integers(2, 15)))
+        ]
+        split = int(rng.integers(1, len(all_reads)))
+        base = _build(all_reads[:split])
+        ext = _build(all_reads[split:], base=base, base_string_count=split)
+        assert convert_itos(ext) == naive_bwt(all_reads)
