@@ -1,0 +1,67 @@
+"""CLI tests (mirrors the reference CLIs' behavior, src/bin/*.rs)."""
+
+import gzip
+import subprocess
+import sys
+
+import pytest
+
+from rust_msbwt_tpu.cli.build import main as build_main
+from rust_msbwt_tpu.cli.convert import main as convert_main
+from rust_msbwt_tpu.utils.npy import load_bwt_bytes
+
+GOLDEN_FA = "/root/reference/test_data/two_string.fa"
+GOLDEN_NPY = "/root/reference/test_data/two_string.npy"
+
+
+def test_build_golden_byte_identity(tmp_path):
+    """The headline correctness contract: msbwt2-build output is
+    byte-identical to the reference's checked-in npy."""
+    out = tmp_path / "out.npy"
+    rc = build_main(["-o", str(out), GOLDEN_FA])
+    assert rc == 0
+    assert out.read_bytes() == open(GOLDEN_NPY, "rb").read()
+
+
+def test_build_stdout(tmp_path, capsys):
+    rc = build_main([GOLDEN_FA])
+    assert rc == 0
+    # decoded golden body: [0d 09 0a 08 0b 09 0d 0a 0b 08] -> symbols
+    assert capsys.readouterr().out.strip() == "TAC$GATCG$"
+
+
+def test_build_missing_input(tmp_path):
+    assert build_main(["-o", str(tmp_path / "x.npy"), "/nonexistent.fa"]) == 66
+
+
+def test_build_fastq_gzip(tmp_path):
+    fq = tmp_path / "reads.fq.gz"
+    with gzip.open(fq, "wb") as fp:
+        fp.write(b"@r1\nACGT\n+\nFFFF\n@r2\nTGCA\n+\nFFFF\n")
+    out = tmp_path / "out.npy"
+    assert build_main(["-o", str(out), str(fq)]) == 0
+    assert out.read_bytes() == open(GOLDEN_NPY, "rb").read()
+
+
+def test_convert_roundtrip(tmp_path):
+    raw = tmp_path / "raw.txt"
+    raw.write_text("GTN$$ACCC$G")
+    out = tmp_path / "conv.npy"
+    assert convert_main(["-i", str(raw), str(out)]) == 0
+    assert load_bwt_bytes(str(out)).tolist() == [11, 13, 12, 16, 9, 26, 8, 11]
+
+
+def test_convert_invalid_input(tmp_path):
+    raw = tmp_path / "raw.txt"
+    raw.write_text("GTB")
+    assert convert_main(["-i", str(raw), str(tmp_path / "x.npy")]) == 74
+
+
+def test_convert_stdin(tmp_path):
+    out = tmp_path / "conv.npy"
+    proc = subprocess.run(
+        [sys.executable, "-m", "rust_msbwt_tpu.cli.convert", str(out)],
+        input=b"ACGNT$", capture_output=True, cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr.decode()
+    assert load_bwt_bytes(str(out)).tolist() == [9, 10, 11, 12, 13, 8]
