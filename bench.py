@@ -1,0 +1,128 @@
+"""North-star benchmark: batched k-mer count queries/s on one chip.
+
+Dataset: 10,000 simulated 100bp reads (seeded) — the BASELINE.json
+"10k simulated reads" config. The flagship op is batched ``count_kmer``
+backward search over the device occurrence index; the secondary metric is
+BWT construction throughput (Mbases/s) through the batched BCR builder.
+
+``vs_baseline`` compares against a sequential host implementation of the
+reference's query loop (the reference publishes no numbers and Rust is not
+available in this image — see BASELINE.md; the host loop is our Python
+re-implementation of RleBWT::constrain_range semantics, measured here).
+
+Prints exactly ONE JSON line on stdout.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def make_reads(n_reads=10_000, read_len=100, seed=0xBEEF):
+    rng = np.random.default_rng(seed)
+    # genome-derived reads so k-mer queries hit real repeat structure
+    genome = rng.integers(1, 6, size=200_000).astype(np.uint8)
+    starts = rng.integers(0, genome.size - read_len, n_reads)
+    reads = np.stack([genome[s : s + read_len] for s in starts])
+    lengths = np.full(n_reads, read_len, dtype=np.int32)
+    return reads, lengths
+
+
+def make_queries(reads, n_queries=1_000_000, k=21, seed=0xFACE):
+    rng = np.random.default_rng(seed)
+    rows = rng.integers(0, reads.shape[0], n_queries)
+    offs = rng.integers(0, reads.shape[1] - k + 1, n_queries)
+    return reads[rows[:, None], offs[:, None] + np.arange(k)[None, :]]
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from rust_msbwt_tpu.ops.bcr import build_msbwt
+    from rust_msbwt_tpu.ops.rank import _count_kmers_impl, build_occ_index
+
+    dev = jax.devices()[0]
+    log(f"device: {dev}")
+
+    reads, lengths = make_reads()
+    n_bases = int(lengths.sum())
+
+    # --- build (secondary metric) ---
+    t0 = time.perf_counter()
+    decoded = build_msbwt(reads, lengths)
+    build_compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    decoded = build_msbwt(reads, lengths)
+    build_s = time.perf_counter() - t0
+    build_mbases_s = n_bases / build_s / 1e6
+    log(f"build: {build_s:.3f}s steady ({build_compile_s:.1f}s incl compile) "
+        f"-> {build_mbases_s:.2f} Mbases/s, BWT size {decoded.size}")
+
+    index = build_occ_index(jnp.asarray(decoded))
+
+    # --- query (north star) ---
+    K = 21
+    kmers = make_queries(reads, k=K)
+    B = kmers.shape[0]
+    qlens = np.full(B, K, dtype=np.int32)
+    kmers_d = jnp.asarray(kmers)
+    qlens_d = jnp.asarray(qlens)
+
+    out = _count_kmers_impl(index.bwt, index.occ, index.starts, index.n,
+                            kmers_d, qlens_d)
+    out.block_until_ready()  # compile + warmup
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = _count_kmers_impl(index.bwt, index.occ, index.starts, index.n,
+                                kmers_d, qlens_d)
+    out.block_until_ready()
+    query_s = (time.perf_counter() - t0) / reps
+    qps = B / query_s
+    counts = np.asarray(out)
+    log(f"query: {B} x {K}-mers in {query_s * 1e3:.2f} ms -> {qps:,.0f} q/s "
+        f"(mean count {counts.mean():.2f}, nonzero {(counts > 0).mean():.2%})")
+
+    # --- host sequential baseline (reference-loop semantics) ---
+    from rust_msbwt_tpu.models.rle_bwt import RleBWT
+    from rust_msbwt_tpu.models.core import BWTRange
+    from rust_msbwt_tpu.ops.rle import bytes_from_runs, runs_from_symbols
+
+    host = RleBWT()
+    host.load_vector(bytes_from_runs(*runs_from_symbols(decoded)))
+    n_cpu = 2_000
+    t0 = time.perf_counter()
+    cpu_counts = [host.count_kmer(kmers[i]) for i in range(n_cpu)]
+    cpu_s = time.perf_counter() - t0
+    cpu_qps = n_cpu / cpu_s
+    assert cpu_counts == counts[:n_cpu].tolist(), "device/host count mismatch"
+    log(f"host baseline: {cpu_qps:,.0f} q/s ({n_cpu} queries)")
+
+    print(json.dumps({
+        "metric": "kmer count queries/s/chip (1M x 21-mers, 10k x 100bp reads)",
+        "value": round(qps),
+        "unit": "queries/s",
+        "vs_baseline": round(qps / cpu_qps, 2),
+        "extra": {
+            "build_mbases_per_s": round(build_mbases_s, 3),
+            "build_seconds": round(build_s, 3),
+            "bwt_symbols": int(decoded.size),
+            "query_batch": B,
+            "k": K,
+            "baseline_note": "host = Python reimplementation of the reference "
+                             "query loop (Rust unavailable; see BASELINE.md)",
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -142,8 +142,14 @@ def build_msbwt(
 # device kernels
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("n0", "n_cap", "L", "n_strings_total"))
-def _bcr_insert(base, q1, reads, lengths, base_counts, *, n0, n_cap, L, n_strings_total):
+def bcr_insert_core(base, q1, reads, lengths, base_counts, *, n0, n_cap, L,
+                    n_strings_total):
+    """Traceable BCR core (also used inside ``shard_map`` by ``parallel/``).
+
+    ``n0``/``n_cap``/``L``/``n_strings_total`` are static; ``n_strings_total``
+    may be a traced scalar when the caller computes it on device.
+    Returns the buffer ``[n_cap]``; positions >= the true total are _PAD.
+    """
     N = reads.shape[0]
     NB = -(-n_cap // BIN)
     n_pad = NB * BIN
@@ -186,6 +192,9 @@ def _bcr_insert(base, q1, reads, lengths, base_counts, *, n0, n_cap, L, n_string
         return new_cur, n_valid + m
 
     # --- stage 1: last characters at precomputed terminator slots ---
+    # reads with length < 0 are padding rows (used by the sharded builder to
+    # equalize per-device read counts); they never insert anything
+    active0 = lengths >= 0
     cur = jnp.full(n_pad, _PAD, jnp.uint8)
     cur = cur.at[:n0].set(base[:n0]) if n0 else cur
     last_idx = jnp.clip(lengths - 1, 0, L - 1)
@@ -194,9 +203,9 @@ def _bcr_insert(base, q1, reads, lengths, base_counts, *, n0, n_cap, L, n_string
         jnp.take_along_axis(reads, last_idx[:, None], axis=1)[:, 0],
         jnp.uint8(0),
     )
-    cur, n_valid = insert(cur, jnp.int32(n0), q1, v1, jnp.ones(N, bool))
+    cur, n_valid = insert(cur, jnp.int32(n0), q1, v1, active0)
     occ = rebuild_occ(cur, n_valid)
-    counts = base_counts.at[v1].add(1)
+    counts = base_counts.at[v1].add(active0.astype(jnp.int32))
     P = q1
     prev_v = v1
 
@@ -210,10 +219,13 @@ def _bcr_insert(base, q1, reads, lengths, base_counts, *, n0, n_cap, L, n_string
             jnp.uint8(0),
         )
         f = prev_v.astype(jnp.int32)
-        # rank of f at position P over the current buffer
+        # rank of f at position P over the current buffer (row gathers —
+        # see ops.rank.rank for the TPU lowering rationale)
         b = P // BIN
-        base_r = occ[b, f]
-        window = cur[(b[:, None] * BIN + jnp.arange(BIN, dtype=jnp.int32)[None, :])]
+        window = jnp.take(cur.reshape(NB, BIN), b, axis=0)
+        occ_row = jnp.take(occ, b, axis=0)
+        f_onehot = f[:, None] == jnp.arange(VC_LEN, dtype=jnp.int32)[None, :]
+        base_r = jnp.sum(occ_row * f_onehot, axis=1, dtype=jnp.int32)
         local = jnp.sum(
             (window == prev_v[:, None])
             & (jnp.arange(BIN, dtype=jnp.int32)[None, :] < (P % BIN)[:, None]),
@@ -241,6 +253,15 @@ def _bcr_insert(base, q1, reads, lengths, base_counts, *, n0, n_cap, L, n_string
         2, L + 2, stage, (cur, occ, P, counts, prev_v, n_valid)
     )
     return cur[:n_cap]
+
+
+@functools.partial(jax.jit, static_argnames=("n0", "n_cap", "L", "n_strings_total"))
+def _bcr_insert(base, q1, reads, lengths, base_counts, *, n0, n_cap, L,
+                n_strings_total):
+    return bcr_insert_core(
+        base, q1, reads, lengths, base_counts,
+        n0=n0, n_cap=n_cap, L=L, n_strings_total=n_strings_total,
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("n", "t_total"))

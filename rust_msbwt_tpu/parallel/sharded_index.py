@@ -1,0 +1,143 @@
+"""Sharded rank index: the BWT and its occurrence checkpoints distributed
+across a device mesh, with global rank = psum of per-shard partials.
+
+This is the exact distributed analogue of the reference's
+``fm_index[bin] + local scan`` decomposition (ref: src/rle_bwt.rs:204-214):
+a rank at global position p = (full counts of every shard left of p's shard)
++ (in-shard rank) — each device computes its contribution from purely local
+data and one ``psum`` over the mesh combines them (SURVEY.md §5). K-mer
+batches run the whole backward-search loop inside one ``shard_map`` program:
+k steps, two psums per step, all riding ICI.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from rust_msbwt_tpu.ops.alphabet import VC_LEN
+from rust_msbwt_tpu.ops.rank import BIN
+from rust_msbwt_tpu.parallel.mesh import AXIS, default_mesh
+
+_PAD_SYMBOL = 7
+
+
+class ShardedOccIndex(NamedTuple):
+    bwt: jax.Array      # uint8 [D, S] — device d holds positions [d*S, (d+1)*S)
+    occ: jax.Array      # int32 [D, SB+1, 6] — occ *within shard* before local bin
+    starts: jax.Array   # int32 [VC_LEN + 1] global C array (replicated)
+    n: int              # true global BWT length
+    shard_len: int      # S
+    mesh: Mesh
+
+
+def build_sharded_index(decoded, mesh: Mesh | None = None) -> ShardedOccIndex:
+    """Shard a decoded BWT across the mesh and build per-shard occ tables."""
+    if mesh is None:
+        mesh = default_mesh()
+    decoded = np.asarray(decoded, dtype=np.uint8)
+    n = int(decoded.size)
+    D = mesh.devices.size
+    S = -(-max(n, 1) // (D * BIN)) * BIN  # per-shard length, BIN-aligned
+    padded = np.full(D * S, _PAD_SYMBOL, dtype=np.uint8)
+    padded[:n] = decoded
+    bwt_sh = padded.reshape(D, S)
+    SB = S // BIN
+    per_bin = (
+        bwt_sh.reshape(D, SB, BIN)[:, :, :, None]
+        == np.arange(VC_LEN, dtype=np.uint8)[None, None, None, :]
+    ).sum(axis=2, dtype=np.int32)
+    occ_sh = np.concatenate(
+        [np.zeros((D, 1, VC_LEN), np.int32), np.cumsum(per_bin, axis=1)], axis=1
+    )
+    totals = occ_sh[:, -1, :].sum(axis=0)
+    starts = np.concatenate([[0], np.cumsum(totals)]).astype(np.int32)
+
+    bwt_dev = jax.device_put(bwt_sh, NamedSharding(mesh, P(AXIS, None)))
+    occ_dev = jax.device_put(occ_sh, NamedSharding(mesh, P(AXIS, None, None)))
+    starts_dev = jax.device_put(starts, NamedSharding(mesh, P()))
+    return ShardedOccIndex(
+        bwt=bwt_dev, occ=occ_dev, starts=starts_dev, n=n, shard_len=S, mesh=mesh
+    )
+
+
+def _local_rank(bwt_loc, occ_loc, S, sym, pos, shard_id):
+    """This shard's contribution to a global rank query (vectorized [B]).
+
+    Row gathers + one-hot selects — see ops.rank.rank for the TPU rationale.
+    """
+    loc = jnp.clip(pos - shard_id * S, 0, S)
+    b = loc // BIN
+    window = jnp.take(bwt_loc.reshape(S // BIN, BIN), b, axis=0)
+    occ_row = jnp.take(occ_loc, b, axis=0)
+    sym_onehot = sym[:, None] == jnp.arange(VC_LEN, dtype=jnp.int32)[None, :]
+    base = jnp.sum(occ_row * sym_onehot, axis=1, dtype=jnp.int32)
+    in_range = jnp.arange(BIN, dtype=jnp.int32)[None, :] < (loc % BIN)[:, None]
+    local = jnp.sum(
+        (window == sym[:, None].astype(jnp.uint8)) & in_range, axis=1,
+        dtype=jnp.int32,
+    )
+    return base + local
+
+
+@functools.partial(jax.jit, static_argnames=("S", "n", "mesh"))
+def _count_kmers_sharded_impl(bwt, occ, starts, kmers, lengths, *, S, n, mesh):
+    def program(bwt_blk, occ_blk, starts_rep, kmers_rep, lengths_rep):
+        d = jax.lax.axis_index(AXIS)
+        bwt_loc = bwt_blk[0]
+        occ_loc = occ_blk[0]
+        B, K = kmers_rep.shape
+
+        def rank_g(sym, pos):
+            contrib = _local_rank(bwt_loc, occ_loc, S, sym, pos, d)
+            return jax.lax.psum(contrib, AXIS)
+
+        lo = jnp.zeros(B, jnp.int32)
+        hi = jnp.full(B, n, jnp.int32)
+
+        def step(t, carry):
+            lo, hi = carry
+            col = K - 1 - t
+            sym = kmers_rep[:, col].astype(jnp.int32)
+            active = t < lengths_rep
+            sym = jnp.where(active, sym, 0)
+            c = starts_rep[sym]
+            new_lo = c + rank_g(sym, lo)
+            new_hi = c + rank_g(sym, hi)
+            lo = jnp.where(active, new_lo, lo)
+            hi = jnp.where(active, new_hi, hi)
+            return lo, hi
+
+        lo, hi = jax.lax.fori_loop(0, K, step, (lo, hi))
+        return hi - lo
+
+    return shard_map(
+        program,
+        mesh=mesh,
+        in_specs=(P(AXIS, None), P(AXIS, None, None), P(), P(None, None), P(None)),
+        out_specs=P(),
+    )(bwt, occ, starts, kmers, lengths)
+
+
+def count_kmers_sharded(index: ShardedOccIndex, kmers, lengths=None) -> np.ndarray:
+    """Batched count_kmer over the sharded index (one SPMD program)."""
+    kmers = np.asarray(kmers, dtype=np.uint8)
+    if kmers.ndim == 1:
+        kmers = kmers[None, :]
+    if not np.all(kmers < VC_LEN):
+        raise AssertionError("k-mer symbols must be < 6")
+    B, K = kmers.shape
+    if lengths is None:
+        lengths = np.full(B, K, dtype=np.int32)
+    out = _count_kmers_sharded_impl(
+        index.bwt, index.occ, index.starts,
+        jnp.asarray(kmers), jnp.asarray(np.asarray(lengths, dtype=np.int32)),
+        S=index.shard_len, n=index.n, mesh=index.mesh,
+    )
+    return np.asarray(out)

@@ -1,0 +1,62 @@
+"""Device Holt–McMillan merge vs the host oracle and naive BWT."""
+
+import numpy as np
+
+from rust_msbwt_tpu.ops.alphabet import convert_itos, convert_stoi
+from rust_msbwt_tpu.ops.bcr import build_msbwt, encode_reads
+from rust_msbwt_tpu.ops.merge import kway_merge, pairwise_bwt_merge
+from rust_msbwt_tpu.utils.oracle import naive_bwt
+
+
+def _bwt_of(strings):
+    reads, lengths = encode_reads([convert_stoi(s) for s in strings])
+    return build_msbwt(reads, lengths)
+
+
+def test_paper_example():
+    a, b = ["ACCA"], ["CAAA"]
+    got = pairwise_bwt_merge(_bwt_of(a), _bwt_of(b))
+    assert convert_itos(got) == naive_bwt(a + b)
+
+
+def test_diff_sizes_and_order():
+    a, b = ["ACCA"], ["CA"]
+    assert convert_itos(pairwise_bwt_merge(_bwt_of(a), _bwt_of(b))) == naive_bwt(a + b)
+    assert convert_itos(pairwise_bwt_merge(_bwt_of(b), _bwt_of(a))) == naive_bwt(a + b)
+
+
+def test_high_similarity():
+    data = ["A", "AA", "AAA", "AAAA", "AAAAA"]
+    cur = _bwt_of([data[0]])
+    for s in data[1:]:
+        cur = pairwise_bwt_merge(cur, _bwt_of([s]))
+    assert convert_itos(cur) == naive_bwt(data)
+
+
+def test_multi_string_halves():
+    left = ["CCGTACGTA", "GGTACAGTA"]
+    right = ["ACGACGACG", "TTTT", "N"]
+    got = pairwise_bwt_merge(_bwt_of(left), _bwt_of(right))
+    assert convert_itos(got) == naive_bwt(left + right)
+
+
+def test_kway():
+    groups = [["ACG", "T"], ["CCGT"], ["N", "NA"], ["GATTACA"]]
+    got = kway_merge([_bwt_of(g) for g in groups])
+    assert convert_itos(got) == naive_bwt([s for g in groups for s in g])
+
+
+def test_empty_inputs():
+    assert pairwise_bwt_merge(np.zeros(0, np.uint8), _bwt_of(["A"])).tolist() == [1, 0]
+    assert kway_merge([]).size == 0
+
+
+def test_random_merges(rng):
+    alpha = list("ACGNT")
+    for _ in range(10):
+        left = ["".join(rng.choice(alpha, size=int(rng.integers(1, 12))))
+                for _ in range(int(rng.integers(1, 8)))]
+        right = ["".join(rng.choice(alpha, size=int(rng.integers(1, 12))))
+                 for _ in range(int(rng.integers(1, 8)))]
+        got = pairwise_bwt_merge(_bwt_of(left), _bwt_of(right))
+        assert convert_itos(got) == naive_bwt(left + right)

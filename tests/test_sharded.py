@@ -1,0 +1,77 @@
+"""Multi-device tests on the virtual 8-device CPU mesh (SURVEY.md §4)."""
+
+import jax
+import numpy as np
+import pytest
+
+from rust_msbwt_tpu.models.rle_bwt import RleBWT
+from rust_msbwt_tpu.ops.alphabet import convert_itos, convert_stoi
+from rust_msbwt_tpu.ops.bcr import build_msbwt, encode_reads
+from rust_msbwt_tpu.ops.rle import convert_to_vec
+from rust_msbwt_tpu.parallel.mesh import default_mesh
+from rust_msbwt_tpu.parallel.sharded_build import build_msbwt_sharded
+from rust_msbwt_tpu.parallel.sharded_index import (
+    build_sharded_index,
+    count_kmers_sharded,
+)
+from rust_msbwt_tpu.utils.oracle import naive_bwt
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8, "conftest must force 8 CPU devices"
+    return default_mesh()
+
+
+def _random_reads(rng, n, lmin=5, lmax=30):
+    alpha = list("ACGNT")
+    return ["".join(rng.choice(alpha, size=int(rng.integers(lmin, lmax))))
+            for _ in range(n)]
+
+
+def test_sharded_rank_matches_single(mesh, rng):
+    data = _random_reads(rng, 40)
+    decoded = convert_stoi(naive_bwt(data))
+    sharded = build_sharded_index(decoded, mesh)
+    single = RleBWT()
+    single.load_vector(convert_to_vec(naive_bwt(data)))
+
+    queries = ["ACG", "TT", "GATTACA", "N", "A"] + [s[:6] for s in data[:5]]
+    K = max(len(q) for q in queries)
+    kmers = np.zeros((len(queries), K), dtype=np.uint8)
+    lens = np.array([len(q) for q in queries], dtype=np.int32)
+    for i, q in enumerate(queries):
+        kmers[i, K - len(q):] = convert_stoi(q)
+
+    got = count_kmers_sharded(sharded, kmers, lens)
+    want = single.count_kmers(kmers, lens)
+    assert got.tolist() == want.tolist()
+
+
+def test_sharded_index_small_bwt(mesh):
+    # BWT smaller than the device count still works (shards mostly padding)
+    decoded = convert_stoi(naive_bwt(["ACGT", "TGCA"]))
+    sharded = build_sharded_index(decoded, mesh)
+    kmers = np.array([convert_stoi("ACGT")], dtype=np.uint8)
+    assert count_kmers_sharded(sharded, kmers).tolist() == [1]
+
+
+def test_sharded_build_matches_naive(mesh, rng):
+    data = _random_reads(rng, 50, 1, 15)
+    reads, lengths = encode_reads([convert_stoi(s) for s in data])
+    got = build_msbwt_sharded(reads, lengths, mesh)
+    assert convert_itos(got) == naive_bwt(data)
+
+
+def test_sharded_build_matches_single_device(mesh, rng):
+    data = _random_reads(rng, 37, 2, 20)
+    reads, lengths = encode_reads([convert_stoi(s) for s in data])
+    sharded = build_msbwt_sharded(reads, lengths, mesh)
+    single = build_msbwt(reads, lengths)
+    assert sharded.tolist() == single.tolist()
+
+
+def test_sharded_build_fewer_reads_than_devices(mesh):
+    reads, lengths = encode_reads([convert_stoi(s) for s in ["ACG", "T"]])
+    got = build_msbwt_sharded(reads, lengths, mesh)
+    assert convert_itos(got) == naive_bwt(["ACG", "T"])
