@@ -229,12 +229,15 @@ def create_from_fastx(filenames, sorted: bool = True) -> DynamicBWT:
     reference's record-at-a-time loop).
     """
     from rust_msbwt_tpu.utils.fastx import parse_fastx
+    from rust_msbwt_tpu.utils.native import parse_fastx_native
 
     bwt = DynamicBWT()
     logger.info("Creating BWT from FASTX files...")
     for filename in filenames:
         logger.info('Loading file "%s"...', filename)
-        seqs = [convert_stoi(s) for s in parse_fastx(filename)]
+        seqs = parse_fastx_native(filename)
+        if seqs is None:  # no native toolchain — Python parser
+            seqs = [convert_stoi(s) for s in parse_fastx(filename)]
         bwt.insert_strings(seqs, sorted)
         logger.info("Finished loading file with %d sequences.", len(seqs))
     bwt._materialize()

@@ -105,7 +105,15 @@ def runs_from_symbols(decoded: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 
 def decode_symbols(rle: np.ndarray) -> np.ndarray:
-    """Fully decode RLE bytes into the flat symbol array (uint8)."""
+    """Fully decode RLE bytes into the flat symbol array (uint8).
+
+    Uses the native host library when available (csrc/msbwt_host.cpp),
+    falling back to the vectorized numpy path."""
+    from rust_msbwt_tpu.utils.native import rle_decode_native
+
+    native = rle_decode_native(np.asarray(rle, dtype=np.uint8))
+    if native is not None:
+        return native
     syms, counts = runs_from_bytes(rle)
     return np.repeat(syms, counts.astype(np.int64))
 

@@ -56,17 +56,16 @@ def parse_fastx(filename: str) -> Iterator[bytes]:
 
 
 def _parse_fasta(fp) -> Iterator[bytes]:
+    # every '>' closes the previous record (empty records are records too)
     chunks: list[bytes] = []
     for line in fp:
         line = line.rstrip(b"\r\n")
         if line.startswith(b">"):
-            if chunks:
-                yield normalize_seq(b"".join(chunks))
-                chunks = []
+            yield normalize_seq(b"".join(chunks))
+            chunks = []
         elif line:
             chunks.append(line)
-    if chunks:
-        yield normalize_seq(b"".join(chunks))
+    yield normalize_seq(b"".join(chunks))
 
 
 def _parse_fastq(fp, first_header: bytes) -> Iterator[bytes]:

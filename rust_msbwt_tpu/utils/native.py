@@ -1,0 +1,126 @@
+"""ctypes bindings to the native host runtime (csrc/msbwt_host.cpp).
+
+Builds the shared library on first use (g++ -O3, links zlib) and caches it
+next to the source. Every entry point has a pure-Python fallback, so the
+package works without a toolchain; with it, FASTX parsing and RLE
+encode/decode run at native speed (the reference's needletail + codec role).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+logger = logging.getLogger("rust_msbwt_tpu")
+
+_SRC = os.path.join(os.path.dirname(__file__), "..", "..", "csrc", "msbwt_host.cpp")
+_LIB_DIR = os.path.join(os.path.dirname(__file__), "..", "_native")
+_LIB = os.path.join(_LIB_DIR, "libmsbwt_host.so")
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    os.makedirs(_LIB_DIR, exist_ok=True)
+    src = os.path.abspath(_SRC)
+    if not os.path.isfile(src):
+        return False
+    if os.path.isfile(_LIB) and os.path.getmtime(_LIB) >= os.path.getmtime(src):
+        return True
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", src, "-o", _LIB, "-lz"]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return True
+    except (subprocess.SubprocessError, FileNotFoundError) as e:
+        logger.info("native host library unavailable (%s); using Python paths", e)
+        return False
+
+
+def get_lib():
+    """The loaded native library, or None if unavailable."""
+    global _lib, _tried
+    with _lock:
+        if _tried:
+            return _lib
+        _tried = True
+        if os.environ.get("MSBWT_TPU_NO_NATIVE"):
+            return None
+        if not _build():
+            return None
+        lib = ctypes.CDLL(_LIB)
+        lib.msbwt_parse_fastx.restype = ctypes.c_int
+        lib.msbwt_parse_fastx.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_int64)),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.msbwt_free.argtypes = [ctypes.c_void_p]
+        lib.msbwt_rle_decode.restype = ctypes.c_int64
+        lib.msbwt_rle_decode.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
+        lib.msbwt_rle_encode.restype = ctypes.c_int64
+        lib.msbwt_rle_encode.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
+        _lib = lib
+        return _lib
+
+
+def parse_fastx_native(path: str):
+    """Parse a FASTX file natively -> list of int-encoded reads, or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    seq_p = ctypes.POINTER(ctypes.c_uint8)()
+    offs_p = ctypes.POINTER(ctypes.c_int64)()
+    total = ctypes.c_int64()
+    n_reads = ctypes.c_int64()
+    rc = lib.msbwt_parse_fastx(
+        path.encode(), ctypes.byref(seq_p), ctypes.byref(total),
+        ctypes.byref(offs_p), ctypes.byref(n_reads),
+    )
+    if rc != 0:
+        raise ValueError(f"{path}: FASTX parse failed (code {rc})")
+    try:
+        n, t = n_reads.value, total.value
+        seq = np.ctypeslib.as_array(seq_p, shape=(max(t, 1),))[:t].copy()
+        offs = np.ctypeslib.as_array(offs_p, shape=(n + 1,)).copy()
+    finally:
+        lib.msbwt_free(seq_p)
+        lib.msbwt_free(offs_p)
+    return [seq[offs[i]:offs[i + 1]] for i in range(n)]
+
+
+def rle_decode_native(rle: np.ndarray):
+    lib = get_lib()
+    if lib is None:
+        return None
+    rle = np.ascontiguousarray(rle, dtype=np.uint8)
+    p = rle.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    total = lib.msbwt_rle_decode(p, rle.size, None)
+    out = np.empty(total, dtype=np.uint8)
+    lib.msbwt_rle_decode(p, rle.size, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return out
+
+
+def rle_encode_native(syms: np.ndarray):
+    lib = get_lib()
+    if lib is None:
+        return None
+    syms = np.ascontiguousarray(syms, dtype=np.uint8)
+    p = syms.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    n_bytes = lib.msbwt_rle_encode(p, syms.size, None)
+    out = np.empty(n_bytes, dtype=np.uint8)
+    lib.msbwt_rle_encode(p, syms.size, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return out

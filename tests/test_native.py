@@ -1,0 +1,68 @@
+"""Native host library (C++) parity vs the Python paths."""
+
+import gzip
+
+import numpy as np
+import pytest
+
+from rust_msbwt_tpu.ops.alphabet import convert_stoi
+from rust_msbwt_tpu.ops.rle import bytes_from_runs, runs_from_bytes, runs_from_symbols
+from rust_msbwt_tpu.utils.fastx import parse_fastx
+from rust_msbwt_tpu.utils import native
+
+
+@pytest.fixture(scope="module")
+def lib():
+    lib = native.get_lib()
+    if lib is None:
+        pytest.skip("native toolchain unavailable")
+    return lib
+
+
+def test_rle_decode_parity(lib, rng):
+    syms = rng.integers(0, 6, 50).astype(np.uint8)
+    for i in range(1, 50):
+        if syms[i] == syms[i - 1]:
+            syms[i] = (syms[i] + 1) % 6
+    counts = rng.integers(1, 100000, 50).astype(np.uint64)
+    enc = bytes_from_runs(syms, counts)
+    dec = native.rle_decode_native(enc)
+    assert dec.tolist() == np.repeat(syms, counts.astype(np.int64)).tolist()
+
+
+def test_rle_encode_parity(lib, rng):
+    decoded = rng.integers(0, 6, 10000).astype(np.uint8)
+    enc_native = native.rle_encode_native(decoded)
+    enc_py = bytes_from_runs(*runs_from_symbols(decoded))
+    assert enc_native.tolist() == enc_py.tolist()
+    s, c = runs_from_bytes(enc_native)
+    assert np.repeat(s, c.astype(np.int64)).tolist() == decoded.tolist()
+
+
+def test_parse_fasta_parity(lib, tmp_path):
+    fa = tmp_path / "t.fa"
+    fa.write_text(">r1\nACGT\nacgt\n>r2\nNNN\n>r3\nuUgG\n")
+    got = native.parse_fastx_native(str(fa))
+    want = [convert_stoi(s) for s in parse_fastx(str(fa))]
+    assert [g.tolist() for g in got] == [w.tolist() for w in want]
+    assert got[2].tolist() == [5, 5, 3, 3]  # U/u -> T
+
+
+def test_parse_fastq_gzip_parity(lib, tmp_path):
+    fq = tmp_path / "t.fq.gz"
+    with gzip.open(fq, "wb") as fp:
+        fp.write(b"@r1\nACGT\n+\nFFFF\n@r2 desc\nTTnn\n+x\n!!!!\n")
+    got = native.parse_fastx_native(str(fq))
+    want = [convert_stoi(s) for s in parse_fastx(str(fq))]
+    assert [g.tolist() for g in got] == [w.tolist() for w in want]
+    assert len(got) == 2
+
+
+def test_parse_golden_two_string(lib):
+    got = native.parse_fastx_native("/root/reference/test_data/two_string.fa")
+    assert [g.tolist() for g in got] == [[1, 2, 3, 5], [5, 3, 2, 1]]
+
+
+def test_parse_missing_file(lib):
+    with pytest.raises(ValueError):
+        native.parse_fastx_native("/nonexistent/file.fa")
