@@ -89,12 +89,16 @@ def build_msbwt(
       arrival order, ref: src/dynamic_bwt.rs:350-351)
     * ``base``                == decoded BWT to extend (load-and-add flow)
     """
+    from rust_msbwt_tpu.utils.checks import validate_bwt, validate_reads
+
     reads = np.asarray(reads, dtype=np.uint8)
     lengths = np.asarray(lengths, dtype=np.int32)
+    validate_reads(reads, lengths)
     N = reads.shape[0]
     if base is None:
         base = np.zeros(0, dtype=np.uint8)
     base = np.asarray(base, dtype=np.uint8)
+    validate_bwt(base)
     n0 = int(base.size)
     if N == 0:
         return base.copy()

@@ -143,6 +143,8 @@ def count_kmers(index: OccIndex, kmers, lengths=None) -> np.ndarray:
     exit (ref: src/msbwt_core.rs:151-153) — an empty range stays empty under
     further LF steps, so masking is exact.
     """
+    from rust_msbwt_tpu.utils.checks import validate_kmers
+
     kmers = np.asarray(kmers, dtype=np.uint8)
     if kmers.ndim == 1:
         kmers = kmers[None, :]
@@ -152,6 +154,7 @@ def count_kmers(index: OccIndex, kmers, lengths=None) -> np.ndarray:
     if lengths is None:
         lengths = np.full(B, K, dtype=np.int32)
     lengths = np.asarray(lengths, dtype=np.int32)
+    validate_kmers(kmers, lengths)
     out = _count_kmers_impl(
         index.bwt, index.occ, index.starts, index.n,
         jnp.asarray(kmers), jnp.asarray(lengths),
