@@ -137,6 +137,16 @@ class RleBWT(BWTBase):
             )
         return self._device_index
 
+    def enable_kmer_cache(self, cache_k: int = 8) -> None:
+        """Precompute ranges of all length-``cache_k`` strings so batched
+        queries skip their first ``cache_k`` LF steps (the reference's
+        unshipped cache idea, ref: src/msbwt_core.rs:133-146)."""
+        idx = self.device_index
+        self._kmer_cache = rank_ops.build_kmer_cache(
+            idx.bwt, idx.occ, idx.starts, idx.n, cache_k
+        )
+        self._cache_k = cache_k
+
     # --- queries ---
 
     def get_symbol_count(self, symbol: int) -> int:
@@ -164,4 +174,8 @@ class RleBWT(BWTBase):
 
     def count_kmers(self, kmers, lengths=None) -> np.ndarray:
         """Batched device path — the production query engine."""
-        return rank_ops.count_kmers(self.device_index, kmers, lengths)
+        return rank_ops.count_kmers(
+            self.device_index, kmers, lengths,
+            cache=getattr(self, "_kmer_cache", None),
+            cache_k=getattr(self, "_cache_k", 0),
+        )

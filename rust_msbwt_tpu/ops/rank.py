@@ -114,12 +114,28 @@ def constrain_range(
     return c + both[:B], c + both[B:]
 
 
-@functools.partial(jax.jit, static_argnames=("n",))
-def _count_kmers_impl(bwt, occ, starts, n, kmers, lengths):
+@functools.partial(jax.jit, static_argnames=("n", "cache_k"))
+def _count_kmers_impl(bwt, occ, starts, n, kmers, lengths, cache=None, cache_k=0):
     index = OccIndex(bwt=bwt, occ=occ, starts=starts, n=n)
     B, K = kmers.shape
     lo = jnp.zeros(B, jnp.int32)
     hi = jnp.full(B, n, jnp.int32)
+
+    t_start = 0
+    if cache is not None and cache_k > 0 and K >= cache_k:
+        # seed [lo, hi) from the precomputed range of the k-mer's last
+        # cache_k symbols, then start the loop at step cache_k. The caller
+        # guarantees every query in this batch has length >= cache_k (shorter
+        # queries are routed through the uncached program).
+        weights = VC_LEN ** (
+            cache_k - 1 - jnp.arange(cache_k, dtype=jnp.int32)
+        )
+        code = jnp.sum(
+            kmers[:, K - cache_k:].astype(jnp.int32) * weights[None, :], axis=1
+        )
+        seeded = jnp.take(cache, code, axis=0)
+        lo, hi = seeded[:, 0], seeded[:, 1]
+        t_start = cache_k
 
     def step(t, carry):
         lo, hi = carry
@@ -132,16 +148,40 @@ def _count_kmers_impl(bwt, occ, starts, n, kmers, lengths):
         hi = jnp.where(active, new_hi, hi)
         return lo, hi
 
-    lo, hi = jax.lax.fori_loop(0, K, step, (lo, hi))
+    lo, hi = jax.lax.fori_loop(t_start, K, step, (lo, hi))
     return (hi - lo).astype(jnp.int64) if n >= 2**31 else hi - lo
 
 
-def count_kmers(index: OccIndex, kmers, lengths=None) -> np.ndarray:
+@functools.partial(jax.jit, static_argnames=("n", "cache_k"))
+def build_kmer_cache(bwt, occ, starts, n, cache_k: int):
+    """Ranges of every length-``cache_k`` string over the 6-symbol alphabet
+    (``[VC_LEN**cache_k, 2]`` i32) — realizes the caching idea the reference
+    sketches but never ships (ref: src/msbwt_core.rs:133-146). Built level by
+    level: ranges of length-l strings from length-(l-1) ranges via one batched
+    LF step, total work ~ VC_LEN**cache_k ranks."""
+    index = OccIndex(bwt=bwt, occ=occ, starts=starts, n=n)
+    table = jnp.stack(
+        [jnp.zeros(1, jnp.int32), jnp.full(1, n, jnp.int32)], axis=1
+    )  # level 0: the empty string
+    for level in range(1, cache_k + 1):
+        size = VC_LEN ** (level - 1)
+        # code = sym * 6^(level-1) + rest  (sym = first/most-significant char)
+        sym = jnp.repeat(jnp.arange(VC_LEN, dtype=jnp.int32), size)
+        rest_lo = jnp.tile(table[:, 0], VC_LEN)
+        rest_hi = jnp.tile(table[:, 1], VC_LEN)
+        new_lo, new_hi = constrain_range(index, sym, rest_lo, rest_hi)
+        table = jnp.stack([new_lo, new_hi], axis=1)
+    return table
+
+
+def count_kmers(index: OccIndex, kmers, lengths=None, cache=None,
+                cache_k: int = 0) -> np.ndarray:
     """Batched ``count_kmer``: ``[B, K]`` right-aligned int8 k-mers -> counts.
 
     A masked fixed-iteration loop replaces the reference's empty-range early
     exit (ref: src/msbwt_core.rs:151-153) — an empty range stays empty under
-    further LF steps, so masking is exact.
+    further LF steps, so masking is exact. Pass a ``build_kmer_cache`` table
+    to skip the first ``cache_k`` LF steps of every query.
     """
     from rust_msbwt_tpu.utils.checks import validate_kmers
 
@@ -155,8 +195,20 @@ def count_kmers(index: OccIndex, kmers, lengths=None) -> np.ndarray:
         lengths = np.full(B, K, dtype=np.int32)
     lengths = np.asarray(lengths, dtype=np.int32)
     validate_kmers(kmers, lengths)
+    if cache is not None and cache_k > 0 and K >= cache_k:
+        short = lengths < cache_k
+        if short.any():  # rare path: too short for the cache seed
+            out = np.empty(B, dtype=np.int64)
+            out[short] = count_kmers(index, kmers[short], lengths[short])
+            out[~short] = count_kmers(
+                index, kmers[~short], lengths[~short], cache=cache, cache_k=cache_k
+            )
+            return out
+    else:
+        cache, cache_k = None, 0
     out = _count_kmers_impl(
         index.bwt, index.occ, index.starts, index.n,
         jnp.asarray(kmers), jnp.asarray(lengths),
+        cache=cache, cache_k=cache_k,
     )
     return np.asarray(out)

@@ -1,0 +1,69 @@
+"""K-mer prefix-range cache: seeded queries equal uncached queries.
+
+Realizes the caching idea the reference sketches but never ships
+(ref: src/msbwt_core.rs:133-146).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rust_msbwt_tpu.models.rle_bwt import RleBWT
+from rust_msbwt_tpu.ops.alphabet import convert_stoi
+from rust_msbwt_tpu.ops.bcr import build_msbwt, encode_reads
+from rust_msbwt_tpu.ops.rank import build_kmer_cache, build_occ_index, count_kmers
+from rust_msbwt_tpu.ops.rle import bytes_from_runs, runs_from_symbols
+from rust_msbwt_tpu.utils.oracle import naive_bwt
+
+
+@pytest.fixture(scope="module")
+def setup(rng):
+    data = ["".join(rng.choice(list("ACGNT"), size=25)) for _ in range(60)]
+    reads, lengths = encode_reads([convert_stoi(s) for s in data])
+    decoded = build_msbwt(reads, lengths)
+    index = build_occ_index(jnp.asarray(decoded))
+    return data, decoded, index
+
+
+@pytest.mark.parametrize("cache_k", [1, 2, 4])
+def test_cache_table_matches_uncached(setup, rng, cache_k):
+    data, decoded, index = setup
+    cache = build_kmer_cache(index.bwt, index.occ, index.starts, index.n, cache_k)
+    # every code's range must equal an uncached search of that exact string
+    n_codes = 6 ** cache_k
+    codes = np.arange(n_codes)
+    digits = np.stack(
+        [(codes // (6 ** (cache_k - 1 - j))) % 6 for j in range(cache_k)], axis=1
+    ).astype(np.uint8)
+    counts = count_kmers(index, digits)
+    tab = np.asarray(cache)
+    assert (tab[:, 1] - tab[:, 0]).tolist() == counts.tolist()
+
+
+def test_cached_queries_match(setup, rng):
+    data, decoded, index = setup
+    cache = build_kmer_cache(index.bwt, index.occ, index.starts, index.n, 4)
+    B, K = 500, 12
+    kmers = rng.integers(0, 6, size=(B, K)).astype(np.uint8)
+    lens = rng.integers(1, K + 1, B).astype(np.int32)
+    # right-align (zero the unused prefix so padding is consistent)
+    for i in range(B):
+        kmers[i, : K - lens[i]] = 0
+    plain = count_kmers(index, kmers, lens)
+    cached = count_kmers(index, kmers, lens, cache=cache, cache_k=4)
+    assert plain.tolist() == cached.tolist()
+
+
+def test_model_level_cache(setup):
+    data, decoded, index = setup
+    bwt = RleBWT()
+    bwt.load_vector(bytes_from_runs(*runs_from_symbols(decoded)))
+    queries = [convert_stoi(s[:10]) for s in data[:20]]
+    kmers = np.stack(queries)
+    before = bwt.count_kmers(kmers)
+    bwt.enable_kmer_cache(cache_k=5)
+    after = bwt.count_kmers(kmers)
+    assert before.tolist() == after.tolist()
+    # sanity vs oracle substring counts
+    text = naive_bwt(data)
+    assert all(c >= 1 for c in after.tolist())
