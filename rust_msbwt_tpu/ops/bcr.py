@@ -81,6 +81,7 @@ def build_msbwt(
     base: np.ndarray | None = None,
     base_string_count: int = 0,
     base_rot_max: int | None = None,
+    engine: str | None = None,
 ) -> np.ndarray:
     """Construct (or extend) an MSBWT. Returns the decoded BWT (uint8 [n]).
 
@@ -88,6 +89,8 @@ def build_msbwt(
     * ``sorted_insert=False`` == chronological insertion (terminators in
       arrival order, ref: src/dynamic_bwt.rs:350-351)
     * ``base``                == decoded BWT to extend (load-and-add flow)
+    * ``engine``              == stage-rebuild engine: "pallas" (TPU merge
+      kernel), "xla" (flat scatter), or None for backend-based auto-pick.
     """
     from rust_msbwt_tpu.utils.checks import validate_bwt, validate_reads
 
@@ -128,6 +131,9 @@ def build_msbwt(
     base_counts = np.bincount(base, minlength=VC_LEN)[:VC_LEN].astype(np.int32)
     n_strings_total = base_string_count + N
 
+    if engine is None:
+        engine = default_engine()
+    interpret = engine == "pallas" and jax.default_backend() not in ("tpu", "axon")
     out = _bcr_insert(
         jnp.asarray(base),
         jnp.asarray(q1),
@@ -138,6 +144,8 @@ def build_msbwt(
         n_cap=n_cap,
         L=L,
         n_strings_total=n_strings_total,
+        engine=engine,
+        interpret=interpret,
     )
     return np.asarray(out)
 
@@ -259,13 +267,124 @@ def bcr_insert_core(base, q1, reads, lengths, base_counts, *, n0, n_cap, L,
     return cur[:n_cap]
 
 
-@functools.partial(jax.jit, static_argnames=("n0", "n_cap", "L", "n_strings_total"))
+def bcr_insert_core_pallas(base, q1, reads, lengths, base_counts, *, n0, n_cap,
+                           L, n_strings_total, interpret=False):
+    """BCR core with the Pallas merge-insert kernel as the stage rebuild.
+
+    Same math as :func:`bcr_insert_core`, but the buffer lives in the padded
+    int32 phys layout of ``ops.pallas_merge`` across all stages and every
+    stage rebuild streams through the merge kernel instead of an XLA flat
+    scatter (~15 ns/element, walls out ~16M elements). Returns ``[n_cap]``
+    uint8; positions >= the true total are _PAD.
+    """
+    from rust_msbwt_tpu.ops import pallas_merge as pm
+
+    NB = -(-n_cap // BIN)
+    csoff = pm.CS  # phys row holding logical position 0 (BIN == 128 lanes)
+    assert BIN == 128
+
+    base_log = jnp.full(n_cap, _PAD, jnp.int32)
+    if n0:
+        base_log = jax.lax.dynamic_update_slice(
+            base_log, base[:n0].astype(jnp.int32), (0,)
+        )
+    arange6 = jnp.arange(VC_LEN, dtype=jnp.int32)
+
+    def rebuild_occ(cur_phys):
+        window = jax.lax.slice(cur_phys, (csoff, 0), (csoff + NB, 128))
+        per_bin = jnp.sum(
+            window[:, :, None] == arange6[None, None, :], axis=1, dtype=jnp.int32
+        )
+        return jnp.concatenate(
+            [jnp.zeros((1, VC_LEN), jnp.int32),
+             jnp.cumsum(per_bin, axis=0, dtype=jnp.int32)]
+        )
+
+    def insert(cur_phys, n_valid, q, v, active):
+        new_phys, m = pm.merge_insert_phys(
+            cur_phys, q, v.astype(jnp.int32), active, interpret=interpret
+        )
+        return new_phys, n_valid + m
+
+    active0 = lengths >= 0
+    cur = pm.to_phys(base_log, n_cap)
+    last_idx = jnp.clip(lengths - 1, 0, L - 1)
+    v1 = jnp.where(
+        lengths > 0,
+        jnp.take_along_axis(reads, last_idx[:, None], axis=1)[:, 0],
+        jnp.uint8(0),
+    )
+    cur, n_valid = insert(cur, jnp.int32(n0), q1, v1, active0)
+    occ = rebuild_occ(cur)
+    counts = base_counts.at[v1].add(active0.astype(jnp.int32))
+    P = q1
+    prev_v = v1
+
+    def stage(j, carry):
+        cur, occ, P, counts, prev_v, n_valid = carry
+        active = j <= lengths + 1
+        idx = lengths - j
+        v = jnp.where(
+            idx >= 0,
+            jnp.take_along_axis(reads, jnp.clip(idx, 0, L - 1)[:, None], axis=1)[:, 0],
+            jnp.uint8(0),
+        )
+        f = prev_v.astype(jnp.int32)
+        b = P // BIN
+        window = jnp.take(cur, b + csoff, axis=0)  # [N, 128] i32 rows
+        occ_row = jnp.take(occ, b, axis=0)
+        f_onehot = f[:, None] == arange6[None, :]
+        base_r = jnp.sum(occ_row * f_onehot, axis=1, dtype=jnp.int32)
+        local = jnp.sum(
+            (window == f[:, None])
+            & (jnp.arange(BIN, dtype=jnp.int32)[None, :] < (P % BIN)[:, None]),
+            axis=1,
+            dtype=jnp.int32,
+        )
+        cs = jnp.cumsum(counts, dtype=jnp.int32)
+        cvec = jnp.concatenate(
+            [jnp.zeros(1, jnp.int32),
+             jnp.int32(n_strings_total) + (cs[:-1] - counts[0])]
+        )
+        q = cvec[f] + base_r + local
+        cur, n_valid = insert(cur, n_valid, q, v, active)
+        occ = rebuild_occ(cur)
+        P = jnp.where(active, q, P)
+        counts = counts.at[v].add(active.astype(jnp.int32))
+        prev_v = jnp.where(active, v, prev_v)
+        return cur, occ, P, counts, prev_v, n_valid
+
+    cur, occ, P, counts, prev_v, n_valid = jax.lax.fori_loop(
+        2, L + 2, stage, (cur, occ, P, counts, prev_v, n_valid)
+    )
+    return pm.from_phys(cur, n_cap).astype(jnp.uint8)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n0", "n_cap", "L", "n_strings_total", "engine", "interpret"),
+)
 def _bcr_insert(base, q1, reads, lengths, base_counts, *, n0, n_cap, L,
-                n_strings_total):
+                n_strings_total, engine="xla", interpret=False):
+    if engine == "pallas":
+        return bcr_insert_core_pallas(
+            base, q1, reads, lengths, base_counts,
+            n0=n0, n_cap=n_cap, L=L, n_strings_total=n_strings_total,
+            interpret=interpret,
+        )
     return bcr_insert_core(
         base, q1, reads, lengths, base_counts,
         n0=n0, n_cap=n_cap, L=L, n_strings_total=n_strings_total,
     )
+
+
+def default_engine() -> str:
+    """Pick the stage-rebuild engine: the Pallas merge kernel on TPU backends,
+    the XLA scatter path elsewhere (CPU meshes in tests, etc.)."""
+    try:
+        return "pallas" if jax.default_backend() in ("tpu", "axon") else "xla"
+    except Exception:
+        return "xla"
 
 
 @functools.partial(jax.jit, static_argnames=("n", "t_total"))

@@ -1,0 +1,195 @@
+"""Pallas TPU merge-insert kernel — the BCR stage rebuild at HBM bandwidth.
+
+Every BCR construction stage rebuilds the BWT buffer by merging N inserted
+symbols into an n-element sequence: ``new[p] = v[i] if p == q[i] else
+old[p - #{q <= p}]`` (the batched equivalent of the reference's per-symbol
+``RLEBPlusTree::insert_and_count``, ref: src/rle_bplus_tree.rs:210-248).
+The XLA lowering of that rebuild is a flat computed-index scatter, which
+runs at ~15 ns/element on TPU and walls out around 16M elements (ROADMAP.md).
+
+This implementation replaces the scatter with streaming DMA + in-row gathers:
+
+* Host/XLA prep (all fast, MXU/VPU-shaped):
+  - ``insmap[p] = v[i] + 1`` at insertion slots, else 0  (one O(N) scatter)
+  - ``tmap[p] = #{q <= p}``  (two-level cumsum: within-row inclusive prefix
+    as a lower-triangular bf16 matmul on the MXU — row counts <= 128 are
+    exact in bf16 — plus an exclusive row-prefix over per-row sums)
+* Kernel, gridded over output chunks of ``CHUNK = CS*128`` elements:
+  - one dynamic-start DMA pulls the old-buffer window
+    ``old[P0 - a - CHUNK, P0 - a + CHUNK)`` into VMEM (``a`` = insertions
+    before the chunk; insertions inside one chunk are <= CHUNK because
+    insertion slots are distinct positions, so the window is static-size),
+  - the source index ``fw(j) = j - shift(j)`` is monotone with steps in
+    {0,1}, so each 128-lane output row reads from at most TWO consecutive
+    window rows: per row, one dynamic 8-row slice + two lane-gathers
+    (``take_along_axis`` on the 128-lane axis) + selects reconstruct the
+    shifted data at fixed cost — no data-dependent loop, no scatter.
+
+Empirical TPU constraints baked in (probed on v5e): DMA row counts must be
+multiples of 8 (unaligned counts hard-fault the runtime); gathers exist only
+along the 128-lane axis; ``jnp.cumsum`` has no Pallas lowering (hence the
+XLA-side tmap); uint8 rolls/slices miscompile, so the buffer is int32 rows
+of 128 with CHUNK-element PAD guards managed by ``to_phys``/``from_phys``.
+Symbol values use 0..5; PAD is 7 (ops.rank._PAD_SYMBOL).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# chunk geometry: CS sublane rows of 128 lanes per grid step. Must be >= 16
+# so the per-row 8-row pair slice stays inside the 3*CS-row window.
+CS = 32
+CHUNK = CS * 128
+_PAD = 7
+
+
+def _merge_kernel(old_ref, tmap_ref, ins_ref, out_ref, a_vm, sem):
+    """One output chunk. Grid dim 0 walks phys chunks. Chunk 0 (front guard)
+    and the last two chunks (back guard; the third back-guard chunk still
+    runs the DMA path and lands on old-buffer PAD) are written as PAD without
+    DMA, which keeps every window read in-bounds."""
+    c = pl.program_id(0)
+    nc = pl.num_programs(0)
+    guard = (c == 0) | (c >= nc - 2)
+
+    @pl.when(guard)
+    def _():
+        out_ref[:] = jnp.full((CS, 128), _PAD, jnp.int32)
+
+    @pl.when(jnp.logical_not(guard))
+    def _():
+        tmap = tmap_ref[:]
+        ins = ins_ref[:]
+        is_ins = (ins > 0).astype(jnp.int32)
+        # insertions strictly before the chunk start
+        a = tmap[0, 0] - is_ins[0, 0]
+
+        # old-window DMA: phys elements [P0 - a - CHUNK, P0 - a + CHUNK).
+        # NOTE: DMA row counts must be multiples of 8 — unaligned counts
+        # hard-fault the TPU runtime (probed empirically).
+        p0 = c * CHUNK
+        src0 = p0 - a
+        row_lo = (src0 - CHUNK) // 128  # >= 0: front guard, a >= 0
+        dma = pltpu.make_async_copy(old_ref.at[pl.ds(row_lo, 3 * CS), :], a_vm, sem)
+        dma.start()
+        dma.wait()
+
+        # source index into the window, monotone with steps in {0, 1}:
+        # fw(s, l) = (src0 - window_base) + 128 s + l - shift_local(s, l)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (CS, 128), 1)
+        sub = jax.lax.broadcasted_iota(jnp.int32, (CS, 128), 0)
+        tloc = tmap - a - is_ins
+        fw = (src0 - row_lo * 128) + sub * 128 + lane - tloc
+
+        rows = []
+        for s in range(CS):
+            fw_row = fw[s : s + 1, :]  # [1, 128]
+            xr0 = fw[s, 0] // 128
+            pair = a_vm[pl.ds(xr0, 8), :]  # rows 0..1 hold the span
+            off = fw_row - xr0 * 128  # in [0, 256)
+            off_b = jnp.broadcast_to(off, (8, 128))
+            g_a = jnp.take_along_axis(pair, jnp.clip(off_b, 0, 127), axis=1)
+            g_b = jnp.take_along_axis(pair, jnp.clip(off_b - 128, 0, 127), axis=1)
+            rows.append(jnp.where(off < 128, g_a[0:1], g_b[1:2]))
+        shifted = jnp.concatenate(rows, axis=0)
+        out_ref[:] = jnp.where(ins > 0, ins - 1, shifted)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _merge_call(old_phys, tmap_phys, ins_phys, *, interpret=False):
+    rows = old_phys.shape[0]
+    n_chunks = rows // CS
+    return pl.pallas_call(
+        _merge_kernel,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # old buffer, DMA'd manually
+            pl.BlockSpec((CS, 128), lambda c: (c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((CS, 128), lambda c: (c, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((CS, 128), lambda c: (c, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows, 128), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((3 * CS, 128), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(old_phys, tmap_phys, ins_phys)
+
+
+# ---------------------------------------------------------------------------
+# phys-layout helpers (used by ops.bcr)
+# ---------------------------------------------------------------------------
+
+def phys_rows(n_cap: int) -> int:
+    """Rows of the phys buffer for a logical capacity of ``n_cap`` symbols:
+    1 front-guard chunk + logical region + 3 back-guard chunks (window
+    overrun + row-alignment spill; the last 2 are never DMA-sourced)."""
+    n_chunks_logical = -(-n_cap // CHUNK)
+    return (1 + n_chunks_logical + 3) * CS
+
+
+def to_phys(buf_logical: jax.Array, n_cap: int) -> jax.Array:
+    """Embed a logical i32 buffer (flat [n_cap]) into the padded phys layout."""
+    rows = phys_rows(n_cap)
+    flat = jnp.full(rows * 128, _PAD, jnp.int32)
+    flat = jax.lax.dynamic_update_slice(flat, buf_logical.astype(jnp.int32), (CHUNK,))
+    return flat.reshape(rows, 128)
+
+
+def from_phys(phys: jax.Array, n_cap: int) -> jax.Array:
+    """Extract the logical flat [n_cap] i32 view."""
+    return phys.reshape(-1)[CHUNK : CHUNK + n_cap]
+
+
+# inclusive-prefix matrix (ones at k <= j); bf16 is exact for counts <= 256.
+# Kept as a host constant: jit embeds it, and caching a traced array would
+# leak tracers across jit scopes.
+_TRI_NP = np.tril(np.ones((128, 128), np.float32)).T
+
+
+def _tri():
+    return jnp.asarray(_TRI_NP, jnp.bfloat16)
+
+
+def _tmap_from_delta(delta_rows: jax.Array) -> jax.Array:
+    """Inclusive two-level prefix sum over the flattened [rows, 128] order.
+
+    Within-row inclusive cumsum runs as one MXU matmul (delta in {0,1}, row
+    prefix <= 128, exact in bf16); the cross-row exclusive prefix is a cheap
+    1-D cumsum over per-row sums.
+    """
+    row_cum = jnp.dot(
+        delta_rows.astype(jnp.bfloat16), _tri(), preferred_element_type=jnp.float32
+    ).astype(jnp.int32)
+    row_tot = row_cum[:, -1]
+    row_pref = jnp.cumsum(row_tot, dtype=jnp.int32) - row_tot
+    return row_cum + row_pref[:, None]
+
+
+def merge_insert_phys(old_phys, q, v, active, *, interpret=False):
+    """One merge-insert pass in phys layout (call under jit).
+
+    ``q``: [N] i32 distinct new-coordinate slots (logical coords);
+    ``v``: [N] i32 values in 0..5; ``active``: [N] bool mask.
+    Returns (new_phys, m) with m = number of active insertions.
+    """
+    rows = old_phys.shape[0]
+    total = rows * 128
+    m = jnp.sum(active.astype(jnp.int32))
+    qp = jnp.where(active, q + CHUNK, total)  # phys coords; inactive -> dropped
+    ins = (
+        jnp.zeros(total, jnp.int32)
+        .at[qp]
+        .set(v.astype(jnp.int32) + 1, mode="drop")
+        .reshape(rows, 128)
+    )
+    tmap = _tmap_from_delta((ins > 0).astype(jnp.int32))
+    return _merge_call(old_phys, tmap, ins, interpret=interpret), m
