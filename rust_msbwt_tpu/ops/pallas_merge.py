@@ -50,13 +50,54 @@ CHUNK = CS * 128
 _PAD = 7
 
 
-def _merge_kernel(old_ref, tmap_ref, ins_ref, out_ref, a_vm, sem):
+def _chunk_cumsum_incl(x):
+    """Inclusive prefix sum of ``x`` [CS, 128] i32 over the flattened
+    row-major order, via log-shift roll passes (no cumsum lowering in
+    Mosaic; sub-tile concatenates miscompile, so the cross-row prefix also
+    runs on the full tile with sublane rolls)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (CS, 128), 1)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (CS, 128), 0)
+    for sh in (1, 2, 4, 8, 16, 32, 64):
+        x = x + jnp.where(lane >= sh, pltpu.roll(x, shift=sh, axis=1), 0)
+    row_tot = jnp.broadcast_to(x[:, 127:128], (CS, 128))
+    inc = row_tot
+    sh = 1
+    while sh < CS:
+        inc = inc + jnp.where(sub >= sh, pltpu.roll(inc, shift=sh, axis=0), 0)
+        sh *= 2
+    return x + (inc - row_tot)
+
+
+def _merge_kernel(ca_ref, old_ref, tmap_ref, ins_ref, out_ref, buf, sems):
     """One output chunk. Grid dim 0 walks phys chunks. Chunk 0 (front guard)
     and the last two chunks (back guard; the third back-guard chunk still
     runs the DMA path and lands on old-buffer PAD) are written as PAD without
-    DMA, which keeps every window read in-bounds."""
+    DMA, which keeps every window read in-bounds. Window DMAs are
+    double-buffered: chunk c issues chunk c+1's DMA before waiting on its
+    own, using the scalar-prefetched per-chunk insertion offsets ``ca_ref``.
+    """
     c = pl.program_id(0)
     nc = pl.num_programs(0)
+    first = 1
+    last = nc - 3  # last chunk that runs the DMA path
+
+    def window_dma(i):
+        # old-window for chunk i: phys elements [P0 - a - CHUNK, P0 - a + CHUNK).
+        # NOTE: DMA row counts must be multiples of 8 — unaligned counts
+        # hard-fault the TPU runtime (probed empirically).
+        row_lo = (i * CHUNK - ca_ref[i] - CHUNK) // 128  # >= 0: front guard
+        return pltpu.make_async_copy(
+            old_ref.at[pl.ds(row_lo, 3 * CS), :], buf.at[i % 2], sems.at[i % 2]
+        )
+
+    @pl.when(c == first)
+    def _():
+        window_dma(first).start()
+
+    @pl.when((c >= first) & (c < last))
+    def _():
+        window_dma(c + 1).start()
+
     guard = (c == 0) | (c >= nc - 2)
 
     @pl.when(guard)
@@ -65,34 +106,26 @@ def _merge_kernel(old_ref, tmap_ref, ins_ref, out_ref, a_vm, sem):
 
     @pl.when(jnp.logical_not(guard))
     def _():
-        tmap = tmap_ref[:]
+        window_dma(c).wait()
         ins = ins_ref[:]
         is_ins = (ins > 0).astype(jnp.int32)
-        # insertions strictly before the chunk start
-        a = tmap[0, 0] - is_ins[0, 0]
+        a = ca_ref[c]  # insertions strictly before the chunk start
+        tloc = tmap_ref[:] - a - is_ins
 
-        # old-window DMA: phys elements [P0 - a - CHUNK, P0 - a + CHUNK).
-        # NOTE: DMA row counts must be multiples of 8 — unaligned counts
-        # hard-fault the TPU runtime (probed empirically).
-        p0 = c * CHUNK
-        src0 = p0 - a
-        row_lo = (src0 - CHUNK) // 128  # >= 0: front guard, a >= 0
-        dma = pltpu.make_async_copy(old_ref.at[pl.ds(row_lo, 3 * CS), :], a_vm, sem)
-        dma.start()
-        dma.wait()
-
+        src0 = c * CHUNK - a
+        row_lo = (src0 - CHUNK) // 128
         # source index into the window, monotone with steps in {0, 1}:
         # fw(s, l) = (src0 - window_base) + 128 s + l - shift_local(s, l)
         lane = jax.lax.broadcasted_iota(jnp.int32, (CS, 128), 1)
         sub = jax.lax.broadcasted_iota(jnp.int32, (CS, 128), 0)
-        tloc = tmap - a - is_ins
         fw = (src0 - row_lo * 128) + sub * 128 + lane - tloc
 
+        win = buf.at[c % 2]
         rows = []
         for s in range(CS):
             fw_row = fw[s : s + 1, :]  # [1, 128]
             xr0 = fw[s, 0] // 128
-            pair = a_vm[pl.ds(xr0, 8), :]  # rows 0..1 hold the span
+            pair = win[pl.ds(xr0, 8), :]  # rows 0..1 hold the span
             off = fw_row - xr0 * 128  # in [0, 256)
             off_b = jnp.broadcast_to(off, (8, 128))
             g_a = jnp.take_along_axis(pair, jnp.clip(off_b, 0, 127), axis=1)
@@ -103,25 +136,31 @@ def _merge_kernel(old_ref, tmap_ref, ins_ref, out_ref, a_vm, sem):
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _merge_call(old_phys, tmap_phys, ins_phys, *, interpret=False):
+def _merge_call(chunk_a, old_phys, tmap_phys, ins_phys, *, interpret=False):
     rows = old_phys.shape[0]
     n_chunks = rows // CS
-    return pl.pallas_call(
-        _merge_kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(n_chunks,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # old buffer, DMA'd manually
-            pl.BlockSpec((CS, 128), lambda c: (c, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((CS, 128), lambda c: (c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((CS, 128), lambda c, ca: (c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((CS, 128), lambda c, ca: (c, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((CS, 128), lambda c: (c, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((rows, 128), jnp.int32),
+        out_specs=pl.BlockSpec(
+            (CS, 128), lambda c, ca: (c, 0), memory_space=pltpu.VMEM
+        ),
         scratch_shapes=[
-            pltpu.VMEM((3 * CS, 128), jnp.int32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, 3 * CS, 128), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
+    )
+    return pl.pallas_call(
+        _merge_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((rows, 128), jnp.int32),
         interpret=interpret,
-    )(old_phys, tmap_phys, ins_phys)
+    )(chunk_a, old_phys, tmap_phys, ins_phys)
 
 
 # ---------------------------------------------------------------------------
@@ -150,24 +189,18 @@ def from_phys(phys: jax.Array, n_cap: int) -> jax.Array:
 
 
 # inclusive-prefix matrix (ones at k <= j); bf16 is exact for counts <= 256.
-# Kept as a host constant: jit embeds it, and caching a traced array would
-# leak tracers across jit scopes.
+# Kept as a host constant: jit embeds it (caching a traced array would leak
+# tracers across jit scopes).
 _TRI_NP = np.tril(np.ones((128, 128), np.float32)).T
 
 
-def _tri():
-    return jnp.asarray(_TRI_NP, jnp.bfloat16)
-
-
-def _tmap_from_delta(delta_rows: jax.Array) -> jax.Array:
-    """Inclusive two-level prefix sum over the flattened [rows, 128] order.
-
-    Within-row inclusive cumsum runs as one MXU matmul (delta in {0,1}, row
-    prefix <= 128, exact in bf16); the cross-row exclusive prefix is a cheap
-    1-D cumsum over per-row sums.
-    """
+def _tmap_from_delta(delta_rows):
+    """Inclusive two-level prefix sum over the flattened [rows, 128] order:
+    within-row inclusive cumsum as one MXU matmul (delta in {0,1}, row
+    prefix <= 128, exact in bf16) + a cheap cross-row exclusive prefix."""
+    tri = jnp.asarray(_TRI_NP, jnp.bfloat16)
     row_cum = jnp.dot(
-        delta_rows.astype(jnp.bfloat16), _tri(), preferred_element_type=jnp.float32
+        delta_rows.astype(jnp.bfloat16), tri, preferred_element_type=jnp.float32
     ).astype(jnp.int32)
     row_tot = row_cum[:, -1]
     row_pref = jnp.cumsum(row_tot, dtype=jnp.int32) - row_tot
@@ -183,6 +216,7 @@ def merge_insert_phys(old_phys, q, v, active, *, interpret=False):
     """
     rows = old_phys.shape[0]
     total = rows * 128
+    n_chunks = rows // CS
     m = jnp.sum(active.astype(jnp.int32))
     qp = jnp.where(active, q + CHUNK, total)  # phys coords; inactive -> dropped
     ins = (
@@ -191,5 +225,11 @@ def merge_insert_phys(old_phys, q, v, active, *, interpret=False):
         .set(v.astype(jnp.int32) + 1, mode="drop")
         .reshape(rows, 128)
     )
+    # per-chunk exclusive insertion counts (inactive slots land in the final
+    # histogram bin, past every chunk the kernel reads)
+    hist = jnp.zeros(n_chunks + 1, jnp.int32).at[qp // CHUNK].add(1, mode="drop")
+    chunk_a = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(hist[:n_chunks], dtype=jnp.int32)]
+    )
     tmap = _tmap_from_delta((ins > 0).astype(jnp.int32))
-    return _merge_call(old_phys, tmap, ins, interpret=interpret), m
+    return _merge_call(chunk_a, old_phys, tmap, ins, interpret=interpret), m
