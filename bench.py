@@ -48,7 +48,8 @@ def main():
     import jax.numpy as jnp
 
     from rust_msbwt_tpu.ops.bcr import build_msbwt
-    from rust_msbwt_tpu.ops.rank import _count_kmers_impl, build_occ_index
+    from rust_msbwt_tpu.ops.packed_rank import _count_kmers_packed_impl, pack_index
+    from rust_msbwt_tpu.ops.rank import build_occ_index
 
     dev = jax.devices()[0]
     log(f"device: {dev}")
@@ -68,6 +69,7 @@ def main():
         f"-> {build_mbases_s:.2f} Mbases/s, BWT size {decoded.size}")
 
     index = build_occ_index(jnp.asarray(decoded))
+    pidx = pack_index(index)
 
     from rust_msbwt_tpu.ops.rank import build_kmer_cache
 
@@ -85,15 +87,18 @@ def main():
     kmers_d = jnp.asarray(kmers)
     qlens_d = jnp.asarray(qlens)
 
-    out = _count_kmers_impl(index.bwt, index.occ, index.starts, index.n,
-                            kmers_d, qlens_d, cache, CACHE_K)
-    out.block_until_ready()  # compile + warmup
+    def run_queries():
+        return _count_kmers_packed_impl(pidx.table, pidx.starts, pidx.n,
+                                        kmers_d, qlens_d, cache, CACHE_K)
+
+    out = run_queries()
+    int(np.asarray(out[0]))  # compile + warmup; forces device sync (axon
+    # block_until_ready returns before execution completes — measured)
     reps = 3
     t0 = time.perf_counter()
     for _ in range(reps):
-        out = _count_kmers_impl(index.bwt, index.occ, index.starts, index.n,
-                                kmers_d, qlens_d, cache, CACHE_K)
-    out.block_until_ready()
+        out = run_queries()
+    int(np.asarray(out[0]))
     query_s = (time.perf_counter() - t0) / reps
     qps = B / query_s
     counts = np.asarray(out)
