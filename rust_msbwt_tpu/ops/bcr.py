@@ -45,6 +45,19 @@ from rust_msbwt_tpu.ops.rank import rank as _rank
 _PAD = 7  # padding symbol for the BWT buffer (never matches 0..5)
 
 
+def _qword_weights() -> np.ndarray:
+    """[3, 128, 128] f32: plane-p weight matrix mapping bin position i to
+    qword lane 32 + 16p + i//8 with weight 2^(i%8) (bf16-exact: sums < 256)."""
+    w = np.zeros((3, 128, 128), np.float32)
+    for plane in range(3):
+        for i in range(128):
+            w[plane, i, 32 + 16 * plane + i // 8] = float(1 << (i % 8))
+    return w
+
+
+_QWORD_W = _qword_weights()
+
+
 # ---------------------------------------------------------------------------
 # host-facing API
 # ---------------------------------------------------------------------------
@@ -69,9 +82,35 @@ def encode_reads(reads: list[np.ndarray]) -> tuple[np.ndarray, np.ndarray]:
 
 
 def sort_reads(reads: np.ndarray, lengths: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Lexicographic read sort (row-wise over the 0-padded matrix)."""
-    order = np.lexsort(reads.T[::-1])
+    """Lexicographic read sort (row-wise over the 0-padded matrix).
+
+    Single-key sort over a fixed-width byte view — 2x faster than a
+    column-per-column ``np.lexsort`` at 1M x 100bp."""
+    L = reads.shape[1]
+    keys = np.ascontiguousarray(reads).view(np.dtype((np.void, L))).ravel()
+    order = np.argsort(keys, kind="stable")
     return reads[order], lengths[order]
+
+
+def reads_to_cols(reads: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """Column-major stage view: ``cols[j, i] = reads[i, lengths[i] - j]`` for
+    ``1 <= j <= lengths[i]``, else 0. Built once on host so every BCR stage
+    reads one contiguous row instead of issuing an N-element gather
+    (~12 ns/element on TPU) per stage.
+    """
+    N, L = reads.shape
+    cols = np.zeros((L + 2, N), dtype=np.uint8)
+    if N == 0:
+        return cols
+    if np.all(lengths == L):
+        cols[1 : L + 1] = reads[:, ::-1].T
+    else:
+        js = np.arange(L + 2)
+        idx = lengths[None, :] - js[:, None]          # [L+2, N]
+        valid = (idx >= 0) & (js[:, None] >= 1)
+        np.clip(idx, 0, L - 1, out=idx)
+        cols = np.where(valid, reads.T[idx, np.arange(N)[None, :]], 0).astype(np.uint8)
+    return cols
 
 
 def build_msbwt(
@@ -82,6 +121,7 @@ def build_msbwt(
     base_string_count: int = 0,
     base_rot_max: int | None = None,
     engine: str | None = None,
+    device_out: bool = False,
 ) -> np.ndarray:
     """Construct (or extend) an MSBWT. Returns the decoded BWT (uint8 [n]).
 
@@ -91,6 +131,8 @@ def build_msbwt(
     * ``base``                == decoded BWT to extend (load-and-add flow)
     * ``engine``              == stage-rebuild engine: "pallas" (TPU merge
       kernel), "xla" (flat scatter), or None for backend-based auto-pick.
+    * ``device_out``          == return the device array (skip the
+      device->host copy; useful when an index is built next).
     """
     from rust_msbwt_tpu.utils.checks import validate_bwt, validate_reads
 
@@ -104,7 +146,7 @@ def build_msbwt(
     validate_bwt(base)
     n0 = int(base.size)
     if N == 0:
-        return base.copy()
+        return jnp.asarray(base) if device_out else base.copy()
 
     if sorted_insert:
         reads, lengths = sort_reads(reads, lengths)
@@ -134,10 +176,12 @@ def build_msbwt(
     if engine is None:
         engine = default_engine()
     interpret = engine == "pallas" and jax.default_backend() not in ("tpu", "axon")
+    cols_on_device = bool(np.all(lengths == L))
+    host_view = reads if cols_on_device else reads_to_cols(reads, lengths)
     out = _bcr_insert(
         jnp.asarray(base),
         jnp.asarray(q1),
-        jnp.asarray(reads),
+        jnp.asarray(host_view),
         jnp.asarray(lengths),
         jnp.asarray(base_counts),
         n0=n0,
@@ -146,23 +190,25 @@ def build_msbwt(
         n_strings_total=n_strings_total,
         engine=engine,
         interpret=interpret,
+        cols_on_device=cols_on_device,
     )
-    return np.asarray(out)
+    return out if device_out else np.asarray(out)
 
 
 # ---------------------------------------------------------------------------
 # device kernels
 # ---------------------------------------------------------------------------
 
-def bcr_insert_core(base, q1, reads, lengths, base_counts, *, n0, n_cap, L,
+def bcr_insert_core(base, q1, reads_cols, lengths, base_counts, *, n0, n_cap, L,
                     n_strings_total):
     """Traceable BCR core (also used inside ``shard_map`` by ``parallel/``).
 
+    ``reads_cols`` is the ``[L+2, N]`` stage view from :func:`reads_to_cols`.
     ``n0``/``n_cap``/``L``/``n_strings_total`` are static; ``n_strings_total``
     may be a traced scalar when the caller computes it on device.
     Returns the buffer ``[n_cap]``; positions >= the true total are _PAD.
     """
-    N = reads.shape[0]
+    N = reads_cols.shape[1]
     NB = -(-n_cap // BIN)
     n_pad = NB * BIN
     arange_cap = jnp.arange(n_cap, dtype=jnp.int32)
@@ -207,36 +253,36 @@ def bcr_insert_core(base, q1, reads, lengths, base_counts, *, n0, n_cap, L,
     # reads with length < 0 are padding rows (used by the sharded builder to
     # equalize per-device read counts); they never insert anything
     active0 = lengths >= 0
+    arange6 = jnp.arange(VC_LEN, dtype=jnp.int32)
+
+    def bump_counts(counts, v, active):
+        # compare+reduce instead of an N-element scatter-add
+        return counts + jnp.sum(
+            (v.astype(jnp.int32)[:, None] == arange6[None, :]) & active[:, None],
+            axis=0,
+            dtype=jnp.int32,
+        )
+
     cur = jnp.full(n_pad, _PAD, jnp.uint8)
     cur = cur.at[:n0].set(base[:n0]) if n0 else cur
-    last_idx = jnp.clip(lengths - 1, 0, L - 1)
-    v1 = jnp.where(
-        lengths > 0,
-        jnp.take_along_axis(reads, last_idx[:, None], axis=1)[:, 0],
-        jnp.uint8(0),
-    )
+    v1 = reads_cols[1]
     cur, n_valid = insert(cur, jnp.int32(n0), q1, v1, active0)
     occ = rebuild_occ(cur, n_valid)
-    counts = base_counts.at[v1].add(active0.astype(jnp.int32))
+    counts = bump_counts(base_counts, v1, active0)
     P = q1
     prev_v = v1
 
     def stage(j, carry):
         cur, occ, P, counts, prev_v, n_valid = carry
         active = j <= lengths + 1
-        idx = lengths - j
-        v = jnp.where(
-            idx >= 0,
-            jnp.take_along_axis(reads, jnp.clip(idx, 0, L - 1)[:, None], axis=1)[:, 0],
-            jnp.uint8(0),
-        )
+        v = jax.lax.dynamic_slice_in_dim(reads_cols, j, 1, axis=0)[0]
         f = prev_v.astype(jnp.int32)
         # rank of f at position P over the current buffer (row gathers —
         # see ops.rank.rank for the TPU lowering rationale)
         b = P // BIN
         window = jnp.take(cur.reshape(NB, BIN), b, axis=0)
         occ_row = jnp.take(occ, b, axis=0)
-        f_onehot = f[:, None] == jnp.arange(VC_LEN, dtype=jnp.int32)[None, :]
+        f_onehot = f[:, None] == arange6[None, :]
         base_r = jnp.sum(occ_row * f_onehot, axis=1, dtype=jnp.int32)
         local = jnp.sum(
             (window == prev_v[:, None])
@@ -257,7 +303,7 @@ def bcr_insert_core(base, q1, reads, lengths, base_counts, *, n0, n_cap, L,
         cur, n_valid = insert(cur, n_valid, q, v, active)
         occ = rebuild_occ(cur, n_valid)
         P = jnp.where(active, q, P)
-        counts = counts.at[v].add(active.astype(jnp.int32))
+        counts = bump_counts(counts, v, active)
         prev_v = jnp.where(active, v, prev_v)
         return cur, occ, P, counts, prev_v, n_valid
 
@@ -267,8 +313,8 @@ def bcr_insert_core(base, q1, reads, lengths, base_counts, *, n0, n_cap, L,
     return cur[:n_cap]
 
 
-def bcr_insert_core_pallas(base, q1, reads, lengths, base_counts, *, n0, n_cap,
-                           L, n_strings_total, interpret=False):
+def bcr_insert_core_pallas(base, q1, reads_cols, lengths, base_counts, *, n0,
+                           n_cap, L, n_strings_total, interpret=False):
     """BCR core with the Pallas merge-insert kernel as the stage rebuild.
 
     Same math as :func:`bcr_insert_core`, but the buffer lives in the padded
@@ -279,6 +325,7 @@ def bcr_insert_core_pallas(base, q1, reads, lengths, base_counts, *, n0, n_cap,
     """
     from rust_msbwt_tpu.ops import pallas_merge as pm
 
+    N = reads_cols.shape[1]
     NB = -(-n_cap // BIN)
     csoff = pm.CS  # phys row holding logical position 0 (BIN == 128 lanes)
     assert BIN == 128
@@ -289,16 +336,50 @@ def bcr_insert_core_pallas(base, q1, reads, lengths, base_counts, *, n0, n_cap,
             base_log, base[:n0].astype(jnp.int32), (0,)
         )
     arange6 = jnp.arange(VC_LEN, dtype=jnp.int32)
+    wq = jnp.asarray(_QWORD_W, jnp.bfloat16)
 
-    def rebuild_occ(cur_phys):
+    def rebuild_table(cur_phys):
+        """Per-bin packed rank rows, [NB, 128] i32: lanes 0..5 hold occ
+        strictly before the bin; lane 32+16p+j holds plane-p qword j (8
+        positions). Built with three MXU matmuls so every intermediate
+        keeps a full 128-lane minor dim — arrays with small minor dims get
+        lane-padded 4-21x on TPU, which is what made the naive bit-plane
+        build and the separate [NB+1, 6] occ table slow. The in-stage rank
+        then needs ONE 128-lane row gather (512-byte and 24-byte row
+        gathers measure the same ~10-13 ns on this chip — the win is one
+        gather instead of two and no padded layouts)."""
         window = jax.lax.slice(cur_phys, (csoff, 0), (csoff + NB, 128))
         per_bin = jnp.sum(
             window[:, :, None] == arange6[None, None, :], axis=1, dtype=jnp.int32
         )
-        return jnp.concatenate(
-            [jnp.zeros((1, VC_LEN), jnp.int32),
-             jnp.cumsum(per_bin, axis=0, dtype=jnp.int32)]
+        occ = jnp.cumsum(per_bin, axis=0, dtype=jnp.int32) - per_bin
+        acc = jnp.zeros((NB, 128), jnp.float32)
+        for p in range(3):
+            bits = ((window >> p) & 1).astype(jnp.bfloat16)
+            acc = acc + jnp.dot(bits, wq[p], preferred_element_type=jnp.float32)
+        return acc.astype(jnp.int32).at[:, :VC_LEN].set(occ)
+
+    def rank_table(table, f, P):
+        """rank(f, P) with one row gather + popcount over plane-match qwords."""
+        b = P // BIN
+        row = jnp.take(table, b, axis=0)
+        occ_base = jnp.sum(
+            jnp.where(arange6[None, :] == f[:, None], row[:, :VC_LEN], 0),
+            axis=1, dtype=jnp.int32,
         )
+        match = jnp.full((f.shape[0], 16), -1, jnp.int32)
+        for p in range(3):
+            words = row[:, 32 + 16 * p : 48 + 16 * p]
+            sp = -((f >> p) & 1)
+            match = match & ~(words ^ sp[:, None])
+        match = match & 0xFF
+        q8 = jnp.arange(16, dtype=jnp.int32)[None, :] * 8
+        sh = jnp.clip((P - b * BIN)[:, None] - q8, 0, 8)
+        pmask = (jnp.int32(1) << sh) - 1
+        local = jnp.sum(
+            jax.lax.population_count(match & pmask), axis=1, dtype=jnp.int32
+        )
+        return occ_base + local
 
     def insert(cur_phys, n_valid, q, v, active):
         new_phys, m = pm.merge_insert_phys(
@@ -307,73 +388,72 @@ def bcr_insert_core_pallas(base, q1, reads, lengths, base_counts, *, n0, n_cap,
         return new_phys, n_valid + m
 
     active0 = lengths >= 0
+
+    def bump_counts(counts, v, active):
+        # compare+reduce instead of an N-element scatter-add
+        return counts + jnp.sum(
+            (v.astype(jnp.int32)[:, None] == arange6[None, :]) & active[:, None],
+            axis=0,
+            dtype=jnp.int32,
+        )
+
     cur = pm.to_phys(base_log, n_cap)
-    last_idx = jnp.clip(lengths - 1, 0, L - 1)
-    v1 = jnp.where(
-        lengths > 0,
-        jnp.take_along_axis(reads, last_idx[:, None], axis=1)[:, 0],
-        jnp.uint8(0),
-    )
+    v1 = reads_cols[1]
     cur, n_valid = insert(cur, jnp.int32(n0), q1, v1, active0)
-    occ = rebuild_occ(cur)
-    counts = base_counts.at[v1].add(active0.astype(jnp.int32))
+    table = rebuild_table(cur)
+    counts = bump_counts(base_counts, v1, active0)
     P = q1
     prev_v = v1
 
     def stage(j, carry):
-        cur, occ, P, counts, prev_v, n_valid = carry
+        cur, table, P, counts, prev_v, n_valid = carry
         active = j <= lengths + 1
-        idx = lengths - j
-        v = jnp.where(
-            idx >= 0,
-            jnp.take_along_axis(reads, jnp.clip(idx, 0, L - 1)[:, None], axis=1)[:, 0],
-            jnp.uint8(0),
-        )
+        v = jax.lax.dynamic_slice_in_dim(reads_cols, j, 1, axis=0)[0]
         f = prev_v.astype(jnp.int32)
-        b = P // BIN
-        window = jnp.take(cur, b + csoff, axis=0)  # [N, 128] i32 rows
-        occ_row = jnp.take(occ, b, axis=0)
-        f_onehot = f[:, None] == arange6[None, :]
-        base_r = jnp.sum(occ_row * f_onehot, axis=1, dtype=jnp.int32)
-        local = jnp.sum(
-            (window == f[:, None])
-            & (jnp.arange(BIN, dtype=jnp.int32)[None, :] < (P % BIN)[:, None]),
-            axis=1,
-            dtype=jnp.int32,
-        )
+        r = rank_table(table, f, P)
         cs = jnp.cumsum(counts, dtype=jnp.int32)
         cvec = jnp.concatenate(
             [jnp.zeros(1, jnp.int32),
              jnp.int32(n_strings_total) + (cs[:-1] - counts[0])]
         )
-        q = cvec[f] + base_r + local
+        q = cvec[f] + r
         cur, n_valid = insert(cur, n_valid, q, v, active)
-        occ = rebuild_occ(cur)
+        table = rebuild_table(cur)
         P = jnp.where(active, q, P)
-        counts = counts.at[v].add(active.astype(jnp.int32))
+        counts = bump_counts(counts, v, active)
         prev_v = jnp.where(active, v, prev_v)
-        return cur, occ, P, counts, prev_v, n_valid
+        return cur, table, P, counts, prev_v, n_valid
 
-    cur, occ, P, counts, prev_v, n_valid = jax.lax.fori_loop(
-        2, L + 2, stage, (cur, occ, P, counts, prev_v, n_valid)
+    cur, table, P, counts, prev_v, n_valid = jax.lax.fori_loop(
+        2, L + 2, stage, (cur, table, P, counts, prev_v, n_valid)
     )
     return pm.from_phys(cur, n_cap).astype(jnp.uint8)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n0", "n_cap", "L", "n_strings_total", "engine", "interpret"),
+    static_argnames=("n0", "n_cap", "L", "n_strings_total", "engine", "interpret",
+                     "cols_on_device"),
 )
-def _bcr_insert(base, q1, reads, lengths, base_counts, *, n0, n_cap, L,
-                n_strings_total, engine="xla", interpret=False):
+def _bcr_insert(base, q1, reads_cols, lengths, base_counts, *, n0, n_cap, L,
+                n_strings_total, engine="xla", interpret=False,
+                cols_on_device=False):
+    if cols_on_device:
+        # input is equal-length [N, L] reads; build the stage view on device
+        # (saves a host pass + keeps the host->device transfer minimal)
+        n_rows = reads_cols.shape[0]
+        zero = jnp.zeros((1, n_rows), jnp.uint8)
+        reads_cols = jnp.concatenate(
+            [zero, jnp.flip(reads_cols, axis=1).T, zero], axis=0
+        )
     if engine == "pallas":
         return bcr_insert_core_pallas(
-            base, q1, reads, lengths, base_counts,
+            base, q1, reads_cols, lengths, base_counts,
             n0=n0, n_cap=n_cap, L=L, n_strings_total=n_strings_total,
             interpret=interpret,
         )
     return bcr_insert_core(
-        base, q1, reads, lengths, base_counts,
+        base, q1, reads_cols, lengths, base_counts,
         n0=n0, n_cap=n_cap, L=L, n_strings_total=n_strings_total,
     )
 

@@ -225,11 +225,9 @@ def merge_insert_phys(old_phys, q, v, active, *, interpret=False):
         .set(v.astype(jnp.int32) + 1, mode="drop")
         .reshape(rows, 128)
     )
-    # per-chunk exclusive insertion counts (inactive slots land in the final
-    # histogram bin, past every chunk the kernel reads)
-    hist = jnp.zeros(n_chunks + 1, jnp.int32).at[qp // CHUNK].add(1, mode="drop")
-    chunk_a = jnp.concatenate(
-        [jnp.zeros(1, jnp.int32), jnp.cumsum(hist[:n_chunks], dtype=jnp.int32)]
-    )
     tmap = _tmap_from_delta((ins > 0).astype(jnp.int32))
+    # per-chunk exclusive insertion counts straight off tmap chunk boundaries
+    # (a strided slice — a second N-element scatter costs ~12 ns/element)
+    ends = tmap[CS - 1 :: CS, 127]  # inclusive count at the end of each chunk
+    chunk_a = jnp.concatenate([jnp.zeros(1, jnp.int32), ends])
     return _merge_call(chunk_a, old_phys, tmap, ins, interpret=interpret), m

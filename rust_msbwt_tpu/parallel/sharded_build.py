@@ -25,7 +25,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from rust_msbwt_tpu.ops.alphabet import VC_LEN
-from rust_msbwt_tpu.ops.bcr import bcr_insert_core, encode_reads, sort_reads
+from rust_msbwt_tpu.ops.bcr import (bcr_insert_core, encode_reads,
+                                    reads_to_cols, sort_reads)
 from rust_msbwt_tpu.ops.merge import kway_merge
 from rust_msbwt_tpu.parallel.mesh import AXIS, default_mesh
 
@@ -33,13 +34,13 @@ _PAD_SYMBOL = 7
 
 
 @functools.partial(jax.jit, static_argnames=("n_cap", "L", "mesh"))
-def _shardwise_bcr(reads_sh, lengths_sh, *, n_cap, L, mesh):
-    """[D, Nl, L] reads (length -1 == padding row) -> [D, n_cap] partial BWTs."""
+def _shardwise_bcr(cols_sh, lengths_sh, *, n_cap, L, mesh):
+    """[D, L+2, Nl] read cols (length -1 == padding row) -> [D, n_cap] BWTs."""
 
-    def program(reads_blk, lengths_blk):
-        reads_l = reads_blk[0]
+    def program(cols_blk, lengths_blk):
+        cols_l = cols_blk[0]
         lengths_l = lengths_blk[0]
-        Nl = reads_l.shape[0]
+        Nl = cols_l.shape[1]
         valid = lengths_l >= 0
         n_str = jnp.sum(valid.astype(jnp.int32))
         big = jnp.int32(n_cap + BIG_PAD)
@@ -47,7 +48,7 @@ def _shardwise_bcr(reads_sh, lengths_sh, *, n_cap, L, mesh):
         out = bcr_insert_core(
             jnp.zeros(0, jnp.uint8),
             q1,
-            reads_l,
+            cols_l,
             lengths_l,
             jnp.zeros(VC_LEN, jnp.int32),
             n0=0,
@@ -62,16 +63,22 @@ def _shardwise_bcr(reads_sh, lengths_sh, *, n_cap, L, mesh):
         mesh=mesh,
         in_specs=(P(AXIS, None, None), P(AXIS, None)),
         out_specs=P(AXIS, None),
-    )(reads_sh, lengths_sh)
+    )(cols_sh, lengths_sh)
 
 
 BIG_PAD = 1024  # safely out-of-bounds offset for padding rows' q1
 
 
 def build_msbwt_sharded(
-    reads: np.ndarray, lengths: np.ndarray, mesh: Mesh | None = None
+    reads: np.ndarray, lengths: np.ndarray, mesh: Mesh | None = None,
+    merge: str = "tree",
 ) -> np.ndarray:
-    """Sorted MSBWT of a read collection, built data-parallel over the mesh."""
+    """Sorted MSBWT of a read collection, built data-parallel over the mesh.
+
+    ``merge="tree"`` combines per-shard BWTs with the single-device binary
+    merge tree; ``merge="sharded"`` runs the distributed D-way H-M merge
+    (``parallel.sharded_merge``) with the interleave sharded across the mesh.
+    """
     if mesh is None:
         mesh = default_mesh()
     D = mesh.devices.size
@@ -87,14 +94,21 @@ def build_msbwt_sharded(
     if pad:
         reads = np.vstack([reads, np.zeros((pad, L), np.uint8)])
         lengths = np.concatenate([lengths, np.full(pad, -1, np.int32)])
-    reads_sh = reads.reshape(D, Nl, L)
     lengths_sh = lengths.reshape(D, Nl)
+    cols_sh = np.stack([
+        reads_to_cols(reads[d * Nl : (d + 1) * Nl], lengths_sh[d])
+        for d in range(D)
+    ])  # [D, L+2, Nl]
 
     shard_sizes = np.where(lengths_sh >= 0, lengths_sh + 1, 0).sum(axis=1)
     n_cap = int(shard_sizes.max())
     parts_dev = _shardwise_bcr(
-        jnp.asarray(reads_sh), jnp.asarray(lengths_sh), n_cap=n_cap, L=L, mesh=mesh
+        jnp.asarray(cols_sh), jnp.asarray(lengths_sh), n_cap=n_cap, L=L, mesh=mesh
     )
     parts_np = np.asarray(parts_dev)
     parts = [parts_np[d, : int(shard_sizes[d])] for d in range(D)]
+    if merge == "sharded":
+        from rust_msbwt_tpu.parallel.sharded_merge import sharded_hm_merge
+
+        return sharded_hm_merge(parts, mesh=mesh)
     return kway_merge(parts)

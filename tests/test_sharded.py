@@ -75,3 +75,27 @@ def test_sharded_build_fewer_reads_than_devices(mesh):
     reads, lengths = encode_reads([convert_stoi(s) for s in ["ACG", "T"]])
     got = build_msbwt_sharded(reads, lengths, mesh)
     assert convert_itos(got) == naive_bwt(["ACG", "T"])
+
+
+def test_sharded_hm_merge_matches_tree():
+    from rust_msbwt_tpu.ops.merge import kway_merge
+    from rust_msbwt_tpu.parallel.sharded_merge import sharded_hm_merge
+
+    rng = np.random.default_rng(17)
+    groups = []
+    for _ in range(5):
+        reads_l = [rng.integers(1, 6, rng.integers(3, 20)).astype(np.uint8)
+                   for _ in range(int(rng.integers(2, 10)))]
+        reads, lens = encode_reads(reads_l)
+        groups.append(build_msbwt(reads, lens))
+    assert np.array_equal(sharded_hm_merge(groups), kway_merge(groups))
+
+
+def test_build_sharded_with_distributed_merge():
+    rng = np.random.default_rng(23)
+    reads_l = [rng.integers(1, 6, rng.integers(4, 30)).astype(np.uint8)
+               for _ in range(40)]
+    reads, lens = encode_reads(reads_l)
+    want = build_msbwt(reads, lens)
+    got = build_msbwt_sharded(reads, lens, merge="sharded")
+    assert np.array_equal(got, want)
