@@ -31,18 +31,29 @@ _PAD_SYMBOL = 7
 class ShardedOccIndex(NamedTuple):
     bwt: jax.Array      # uint8 [D, S] — device d holds positions [d*S, (d+1)*S)
     occ: jax.Array      # int32 [D, SB+1, 6] — occ *within shard* before local bin
-    starts: jax.Array   # int32 [VC_LEN + 1] global C array (replicated)
+    starts: jax.Array   # global C array (replicated); int64 when ``wide``
     n: int              # true global BWT length
     shard_len: int      # S
     mesh: Mesh
+    wide: bool = False  # int64 global positions (BWTs past 2^31 symbols)
 
 
-def build_sharded_index(decoded, mesh: Mesh | None = None) -> ShardedOccIndex:
-    """Shard a decoded BWT across the mesh and build per-shard occ tables."""
+def build_sharded_index(
+    decoded, mesh: Mesh | None = None, force_wide: bool = False
+) -> ShardedOccIndex:
+    """Shard a decoded BWT across the mesh and build per-shard occ tables.
+
+    Global positions switch to int64 ("wide" mode) once the BWT exceeds
+    2^31 - 1 symbols — per-shard offsets stay int32 (a shard is < 2^31 by
+    construction), so only the [B]-sized position vectors and the C array
+    pay the 64-bit emulation cost (ROADMAP "i64 / hi-lo positions").
+    ``force_wide`` exercises that path on small data for tests.
+    """
     if mesh is None:
         mesh = default_mesh()
     decoded = np.asarray(decoded, dtype=np.uint8)
     n = int(decoded.size)
+    wide = force_wide or n >= 2**31
     D = mesh.devices.size
     S = -(-max(n, 1) // (D * BIN)) * BIN  # per-shard length, BIN-aligned
     padded = np.full(D * S, _PAD_SYMBOL, dtype=np.uint8)
@@ -56,14 +67,17 @@ def build_sharded_index(decoded, mesh: Mesh | None = None) -> ShardedOccIndex:
     occ_sh = np.concatenate(
         [np.zeros((D, 1, VC_LEN), np.int32), np.cumsum(per_bin, axis=1)], axis=1
     )
-    totals = occ_sh[:, -1, :].sum(axis=0)
-    starts = np.concatenate([[0], np.cumsum(totals)]).astype(np.int32)
+    totals = occ_sh[:, -1, :].sum(axis=0, dtype=np.int64)
+    starts = np.concatenate([[0], np.cumsum(totals)])
+    starts = starts.astype(np.int64 if wide else np.int32)
 
     bwt_dev = jax.device_put(bwt_sh, NamedSharding(mesh, P(AXIS, None)))
     occ_dev = jax.device_put(occ_sh, NamedSharding(mesh, P(AXIS, None, None)))
-    starts_dev = jax.device_put(starts, NamedSharding(mesh, P()))
+    with jax.enable_x64(wide):
+        starts_dev = jax.device_put(starts, NamedSharding(mesh, P()))
     return ShardedOccIndex(
-        bwt=bwt_dev, occ=occ_dev, starts=starts_dev, n=n, shard_len=S, mesh=mesh
+        bwt=bwt_dev, occ=occ_dev, starts=starts_dev, n=n, shard_len=S, mesh=mesh,
+        wide=wide,
     )
 
 
@@ -71,8 +85,10 @@ def _local_rank(bwt_loc, occ_loc, S, sym, pos, shard_id):
     """This shard's contribution to a global rank query (vectorized [B]).
 
     Row gathers + one-hot selects — see ops.rank.rank for the TPU rationale.
+    ``pos`` may be int64 (wide mode); the clip maps it into int32-safe
+    in-shard coordinates before any gather math.
     """
-    loc = jnp.clip(pos - shard_id * S, 0, S)
+    loc = jnp.clip(pos - shard_id * S, 0, S).astype(jnp.int32)
     b = loc // BIN
     window = jnp.take(bwt_loc.reshape(S // BIN, BIN), b, axis=0)
     occ_row = jnp.take(occ_loc, b, axis=0)
@@ -86,8 +102,11 @@ def _local_rank(bwt_loc, occ_loc, S, sym, pos, shard_id):
     return base + local
 
 
-@functools.partial(jax.jit, static_argnames=("S", "n", "mesh"))
-def _count_kmers_sharded_impl(bwt, occ, starts, kmers, lengths, *, S, n, mesh):
+@functools.partial(jax.jit, static_argnames=("S", "n", "mesh", "wide"))
+def _count_kmers_sharded_impl(bwt, occ, starts, kmers, lengths, *, S, n, mesh,
+                              wide=False):
+    pos_dtype = jnp.int64 if wide else jnp.int32
+
     def program(bwt_blk, occ_blk, starts_rep, kmers_rep, lengths_rep):
         d = jax.lax.axis_index(AXIS)
         bwt_loc = bwt_blk[0]
@@ -96,10 +115,12 @@ def _count_kmers_sharded_impl(bwt, occ, starts, kmers, lengths, *, S, n, mesh):
 
         def rank_g(sym, pos):
             contrib = _local_rank(bwt_loc, occ_loc, S, sym, pos, d)
-            return jax.lax.psum(contrib, AXIS)
+            # per-shard partials are int32 (< S); the global sum needs the
+            # wide dtype once n can exceed 2^31
+            return jax.lax.psum(contrib.astype(pos_dtype), AXIS)
 
-        lo = jnp.zeros(B, jnp.int32)
-        hi = jnp.full(B, n, jnp.int32)
+        lo = jnp.zeros(B, pos_dtype)
+        hi = jnp.full(B, n, pos_dtype)
 
         def step(t, carry):
             lo, hi = carry
@@ -135,9 +156,10 @@ def count_kmers_sharded(index: ShardedOccIndex, kmers, lengths=None) -> np.ndarr
     B, K = kmers.shape
     if lengths is None:
         lengths = np.full(B, K, dtype=np.int32)
-    out = _count_kmers_sharded_impl(
-        index.bwt, index.occ, index.starts,
-        jnp.asarray(kmers), jnp.asarray(np.asarray(lengths, dtype=np.int32)),
-        S=index.shard_len, n=index.n, mesh=index.mesh,
-    )
+    with jax.enable_x64(index.wide):
+        out = _count_kmers_sharded_impl(
+            index.bwt, index.occ, index.starts,
+            jnp.asarray(kmers), jnp.asarray(np.asarray(lengths, dtype=np.int32)),
+            S=index.shard_len, n=index.n, mesh=index.mesh, wide=index.wide,
+        )
     return np.asarray(out)

@@ -99,3 +99,20 @@ def test_build_sharded_with_distributed_merge():
     want = build_msbwt(reads, lens)
     got = build_msbwt_sharded(reads, lens, merge="sharded")
     assert np.array_equal(got, want)
+
+
+def test_sharded_query_wide_positions():
+    """int64 ("wide") global positions — the >2^31-symbol path — must agree
+    with the int32 path and the single-device engine on small data."""
+    from rust_msbwt_tpu.ops.rank import build_occ_index, count_kmers
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(31)
+    reads_l = [rng.integers(1, 6, 25).astype(np.uint8) for _ in range(40)]
+    reads, lens = encode_reads(reads_l)
+    dec = build_msbwt(reads, lens)
+    kmers = np.stack([reads[i, 2:10] for i in range(24)]).astype(np.uint8)
+    want = count_kmers(build_occ_index(jnp.asarray(dec)), kmers)
+    wide = count_kmers_sharded(build_sharded_index(dec, force_wide=True), kmers)
+    assert np.asarray(wide).dtype == np.int64
+    assert np.array_equal(np.asarray(wide), np.asarray(want))
