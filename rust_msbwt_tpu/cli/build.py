@@ -45,6 +45,11 @@ def main(argv=None) -> int:
         help="Insert strings chronologically instead of lexicographically",
     )
     parser.add_argument(
+        "--batch-size", type=int, default=0, metavar="N",
+        help="Stream reads through the builder N at a time (bounded device "
+        "memory; 0 = one batch per file)",
+    )
+    parser.add_argument(
         "FASTX", nargs="+",
         help="The FASTQ/A file(s) to load into the BWT, gzip accepted",
     )
@@ -80,7 +85,14 @@ def main(argv=None) -> int:
     from rust_msbwt_tpu.utils.npy import save_bwt_runs
 
     try:
-        bwt = create_from_fastx(args.FASTX, sorted_strings)
+        if args.batch_size > 0:
+            from rust_msbwt_tpu.models.dynamic import create_from_fastx_streaming
+
+            bwt = create_from_fastx_streaming(
+                args.FASTX, sorted_strings, batch_size=args.batch_size
+            )
+        else:
+            bwt = create_from_fastx(args.FASTX, sorted_strings)
     except Exception as e:  # parse errors
         logger.error("Error while parsing FASTX files: %s", args.FASTX)
         logger.error("Error: %s", e)

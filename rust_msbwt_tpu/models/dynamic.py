@@ -69,6 +69,7 @@ class DynamicBWT(BWTBase):
 
     def _invalidate(self):
         self._occ_cache = None
+        self._packed_cache = None
         self._host_cache = None
 
     def _materialize(self) -> None:
@@ -217,8 +218,19 @@ class DynamicBWT(BWTBase):
             h=c + self._rank(sym, input_range.h),
         )
 
+    @property
+    def packed_index(self):
+        """Packed single-gather rank index (rebuilt after mutations)."""
+        if getattr(self, "_packed_cache", None) is None:
+            from rust_msbwt_tpu.ops.packed_rank import pack_index
+
+            self._packed_cache = pack_index(self.device_index)
+        return self._packed_cache
+
     def count_kmers(self, kmers, lengths=None) -> np.ndarray:
-        return rank_ops.count_kmers(self.device_index, kmers, lengths)
+        from rust_msbwt_tpu.ops.packed_rank import count_kmers_packed
+
+        return count_kmers_packed(self.packed_index, kmers, lengths)
 
 
 def create_from_fastx(filenames, sorted: bool = True) -> DynamicBWT:
@@ -241,6 +253,47 @@ def create_from_fastx(filenames, sorted: bool = True) -> DynamicBWT:
         bwt.insert_strings(seqs, sorted)
         logger.info("Finished loading file with %d sequences.", len(seqs))
     bwt._materialize()
+    logger.info(
+        "Finished creating BWT, symbol counts: %s",
+        bwt.get_symbol_counts().tolist(),
+    )
+    return bwt
+
+
+def create_from_fastx_streaming(
+    filenames, sorted: bool = True, batch_size: int = 100_000
+) -> DynamicBWT:
+    """Streaming variant of :func:`create_from_fastx`: reads flow through
+    ``utils.streaming.StreamingBuilder`` in ``batch_size`` chunks, so device
+    memory holds one batch + the accumulated BWT instead of a whole file,
+    and host parsing of the next batch overlaps the device build (async
+    dispatch). Per-batch telemetry mirrors the reference's progress line
+    (ref: src/dynamic_bwt.rs:377-380).
+    """
+    from rust_msbwt_tpu.ops.bcr import encode_reads
+    from rust_msbwt_tpu.utils.fastx import parse_fastx
+    from rust_msbwt_tpu.utils.native import parse_fastx_native
+    from rust_msbwt_tpu.utils.streaming import StreamingBuilder
+
+    builder = StreamingBuilder(sorted_insert=sorted)
+    logger.info("Creating BWT from FASTX files (streaming)...")
+    for filename in filenames:
+        logger.info('Loading file "%s"...', filename)
+        seqs = parse_fastx_native(filename)
+        if seqs is None:
+            seqs = [convert_stoi(s) for s in parse_fastx(filename)]
+        for i in range(0, len(seqs), batch_size):
+            reads, lengths = encode_reads(seqs[i : i + batch_size])
+            builder.add_batch(reads, lengths)
+            logger.info(
+                "Processed %d strings (batch of %d)",
+                builder.string_count, reads.shape[0],
+            )
+    bwt = DynamicBWT()
+    if builder.string_count:
+        bwt._base = builder.finish()
+        bwt._max_read_len = None  # recovered by LF walk if extended further
+        bwt._invalidate()
     logger.info(
         "Finished creating BWT, symbol counts: %s",
         bwt.get_symbol_counts().tolist(),

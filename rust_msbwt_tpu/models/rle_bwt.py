@@ -85,6 +85,7 @@ class RleBWT(BWTBase):
         self._decoded = np.zeros(0, dtype=np.uint8)
         self._occ_np = np.zeros((1, VC_LEN), dtype=np.int64)
         self._device_index: rank_ops.OccIndex | None = None
+        self._packed_index = None
 
     @classmethod
     def with_bin_power(cls, bin_power: int) -> "RleBWT":
@@ -128,6 +129,7 @@ class RleBWT(BWTBase):
         )
         self._decoded_padded = padded
         self._device_index = None  # built lazily on first batched query
+        self._packed_index = None
 
     @property
     def device_index(self) -> rank_ops.OccIndex:
@@ -172,10 +174,22 @@ class RleBWT(BWTBase):
             h=c + self._rank(sym, input_range.h),
         )
 
+    @property
+    def packed_index(self):
+        """Packed single-gather rank index (ops.packed_rank) — one 128-byte
+        row gather per rank; the fastest query layout measured on TPU."""
+        if self._packed_index is None:
+            from rust_msbwt_tpu.ops.packed_rank import pack_index
+
+            self._packed_index = pack_index(self.device_index)
+        return self._packed_index
+
     def count_kmers(self, kmers, lengths=None) -> np.ndarray:
         """Batched device path — the production query engine."""
-        return rank_ops.count_kmers(
-            self.device_index, kmers, lengths,
+        from rust_msbwt_tpu.ops.packed_rank import count_kmers_packed
+
+        return count_kmers_packed(
+            self.packed_index, kmers, lengths,
             cache=getattr(self, "_kmer_cache", None),
             cache_k=getattr(self, "_cache_k", 0),
         )

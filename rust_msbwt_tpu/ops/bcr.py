@@ -81,6 +81,14 @@ def encode_reads(reads: list[np.ndarray]) -> tuple[np.ndarray, np.ndarray]:
     return packed, lengths
 
 
+@jax.jit
+def _device_counts(decoded):
+    return jnp.sum(
+        decoded[:, None] == jnp.arange(VC_LEN, dtype=jnp.uint8)[None, :],
+        axis=0, dtype=jnp.int32,
+    )
+
+
 def sort_reads(reads: np.ndarray, lengths: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Lexicographic read sort (row-wise over the 0-padded matrix).
 
@@ -142,18 +150,21 @@ def build_msbwt(
     N = reads.shape[0]
     if base is None:
         base = np.zeros(0, dtype=np.uint8)
-    base = np.asarray(base, dtype=np.uint8)
-    validate_bwt(base)
-    n0 = int(base.size)
+    if isinstance(base, np.ndarray):
+        base = np.asarray(base, dtype=np.uint8)
+        validate_bwt(base)
+        base = jnp.asarray(base)
+    # else: device-resident base (streaming extend) — stays on device
+    n0 = int(base.shape[0])
     if N == 0:
-        return jnp.asarray(base) if device_out else base.copy()
+        return base if device_out else np.asarray(base)
 
     if sorted_insert:
         reads, lengths = sort_reads(reads, lengths)
         if n0 == 0:
             base_pos = np.zeros(N, dtype=np.int32)
         else:
-            base_index = build_occ_index(jnp.asarray(base), n0)
+            base_index = build_occ_index(base, n0)
             if base_rot_max is None:
                 base_rot_max = int(
                     read_lengths_from_bwt(base_index, base_string_count).max()
@@ -170,7 +181,10 @@ def build_msbwt(
     if n_cap >= 2**31:
         raise ValueError("single-device build limited to 2^31-1 symbols; use parallel/")
     L = int(reads.shape[1])
-    base_counts = np.bincount(base, minlength=VC_LEN)[:VC_LEN].astype(np.int32)
+    if n0:
+        base_counts = _device_counts(base)
+    else:
+        base_counts = jnp.zeros(VC_LEN, jnp.int32)
     n_strings_total = base_string_count + N
 
     if engine is None:
@@ -179,11 +193,11 @@ def build_msbwt(
     cols_on_device = bool(np.all(lengths == L))
     host_view = reads if cols_on_device else reads_to_cols(reads, lengths)
     out = _bcr_insert(
-        jnp.asarray(base),
+        base,
         jnp.asarray(q1),
         jnp.asarray(host_view),
         jnp.asarray(lengths),
-        jnp.asarray(base_counts),
+        base_counts,
         n0=n0,
         n_cap=n_cap,
         L=L,

@@ -50,24 +50,6 @@ CHUNK = CS * 128
 _PAD = 7
 
 
-def _chunk_cumsum_incl(x):
-    """Inclusive prefix sum of ``x`` [CS, 128] i32 over the flattened
-    row-major order, via log-shift roll passes (no cumsum lowering in
-    Mosaic; sub-tile concatenates miscompile, so the cross-row prefix also
-    runs on the full tile with sublane rolls)."""
-    lane = jax.lax.broadcasted_iota(jnp.int32, (CS, 128), 1)
-    sub = jax.lax.broadcasted_iota(jnp.int32, (CS, 128), 0)
-    for sh in (1, 2, 4, 8, 16, 32, 64):
-        x = x + jnp.where(lane >= sh, pltpu.roll(x, shift=sh, axis=1), 0)
-    row_tot = jnp.broadcast_to(x[:, 127:128], (CS, 128))
-    inc = row_tot
-    sh = 1
-    while sh < CS:
-        inc = inc + jnp.where(sub >= sh, pltpu.roll(inc, shift=sh, axis=0), 0)
-        sh *= 2
-    return x + (inc - row_tot)
-
-
 def _merge_kernel(ca_ref, old_ref, tmap_ref, ins_ref, out_ref, buf, sems):
     """One output chunk. Grid dim 0 walks phys chunks. Chunk 0 (front guard)
     and the last two chunks (back guard; the third back-guard chunk still
@@ -114,13 +96,13 @@ def _merge_kernel(ca_ref, old_ref, tmap_ref, ins_ref, out_ref, buf, sems):
 
         src0 = c * CHUNK - a
         row_lo = (src0 - CHUNK) // 128
+        lane = jax.lax.broadcasted_iota(jnp.int32, (CS, 128), 1)
+        win = buf.at[c % 2]
+
+        sub = jax.lax.broadcasted_iota(jnp.int32, (CS, 128), 0)
         # source index into the window, monotone with steps in {0, 1}:
         # fw(s, l) = (src0 - window_base) + 128 s + l - shift_local(s, l)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (CS, 128), 1)
-        sub = jax.lax.broadcasted_iota(jnp.int32, (CS, 128), 0)
         fw = (src0 - row_lo * 128) + sub * 128 + lane - tloc
-
-        win = buf.at[c % 2]
         rows = []
         for s in range(CS):
             fw_row = fw[s : s + 1, :]  # [1, 128]

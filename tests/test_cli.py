@@ -65,3 +65,13 @@ def test_convert_stdin(tmp_path):
     )
     assert proc.returncode == 0, proc.stderr.decode()
     assert load_bwt_bytes(str(out)).tolist() == [9, 10, 11, 12, 13, 8]
+
+
+def test_build_cli_streaming_batches(tmp_path):
+    """--batch-size streams reads through the incremental builder and must
+    produce byte-identical output."""
+    out1 = tmp_path / "a.npy"
+    out2 = tmp_path / "b.npy"
+    assert build_main(["-o", str(out1), GOLDEN_FA]) == 0
+    assert build_main(["-o", str(out2), "--batch-size", "1", GOLDEN_FA]) == 0
+    assert out1.read_bytes() == out2.read_bytes()
