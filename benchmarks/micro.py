@@ -94,6 +94,43 @@ def run_all() -> dict:
         )
     )
     results["batched_count_kmer_qps"] = B / results["batched_count_kmer_100k_s"]
+
+    # packed single-gather rank (the production query layout)
+    from rust_msbwt_tpu.ops.packed_rank import _count_kmers_packed_impl, pack_index
+
+    pidx = pack_index(didx)
+    results["packed_count_kmer_100k_s"] = timeit(
+        lambda: _count_kmers_packed_impl(pidx.table, pidx.starts, pidx.n, kd, ld)
+    )
+    results["packed_count_kmer_qps"] = B / results["packed_count_kmer_100k_s"]
+
+    # Pallas merge-insert pass (the BCR stage rebuild), 1M-symbol buffer
+    from rust_msbwt_tpu.ops import pallas_merge as pm
+
+    if jax.default_backend() in ("tpu", "axon"):
+        n_cap = 1_000_000
+        old = pm.to_phys(
+            jnp.asarray(rng.integers(0, 6, n_cap).astype(np.int32)), n_cap
+        )
+        q = jnp.asarray(
+            np.sort(rng.choice(n_cap, 10_000, replace=False)).astype(np.int32)
+        )
+        v = jnp.asarray(rng.integers(0, 6, 10_000).astype(np.int32))
+        act = jnp.ones(10_000, bool)
+
+        @jax.jit
+        def merge_loop(old, q, v, act):
+            def body(i, cur):
+                new, _ = pm.merge_insert_phys(cur, q, v, act)
+                return new
+            return jax.lax.fori_loop(0, 10, body, old)[0, :1]
+
+        r = merge_loop(old, q, v, act)
+        int(np.asarray(r)[0])
+        t0 = time.perf_counter()
+        r = merge_loop(old, q, v, act)
+        int(np.asarray(r)[0])
+        results["pallas_merge_pass_1m_s"] = (time.perf_counter() - t0) / 10
     return results
 
 
