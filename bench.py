@@ -74,6 +74,18 @@ def main():
 
     index = build_occ_index(jnp.asarray(decoded))
     decoded = np.asarray(decoded)  # host copy for the RLE/golden host paths
+
+    # secondary build config: 100k reads (10.1M symbols) — a scaling point
+    reads2, lengths2 = make_reads(n_reads=100_000, seed=0xF00D)
+    d2 = build_msbwt(reads2, lengths2, device_out=True)
+    int(np.asarray(d2[:1])[0])
+    t0 = time.perf_counter()
+    d2 = build_msbwt(reads2, lengths2, device_out=True)
+    int(np.asarray(d2[:1])[0])
+    build100k_s = time.perf_counter() - t0
+    build100k_mbases_s = float(lengths2.sum()) / build100k_s / 1e6
+    log(f"build 100k reads: {build100k_s:.2f}s -> {build100k_mbases_s:.1f} Mbases/s")
+    del d2
     pidx = pack_index(index)
 
     from rust_msbwt_tpu.ops.rank import build_kmer_cache
@@ -133,6 +145,7 @@ def main():
         "extra": {
             "build_mbases_per_s": round(build_mbases_s, 3),
             "build_seconds": round(build_s, 3),
+            "build_100k_reads_mbases_per_s": round(build100k_mbases_s, 3),
             "bwt_symbols": int(decoded.size),
             "query_batch": B,
             "k": K,
