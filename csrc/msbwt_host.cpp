@@ -14,6 +14,11 @@
 #include <cstdlib>
 #include <cstring>
 #include <vector>
+#include <algorithm>
+#if defined(_OPENMP)
+#include <parallel/algorithm>
+#include <omp.h>
+#endif
 
 #include <zlib.h>
 
@@ -171,6 +176,52 @@ int64_t msbwt_rle_encode(const uint8_t* syms, int64_t n, uint8_t* out) {
     i = j;
   }
   return written;
+}
+
+
+// --- read-matrix host kernels (the remaining host-side hot paths of the
+// builder: lexicographic row sort and the column-major stage view) ---------
+
+// Lexicographic argsort of N fixed-width L-byte rows. Parallel std::sort on
+// row indices with memcmp keys (rows are 0-padded, so plain byte order ==
+// the '$'-terminated lexicographic order used by sorted insertion).
+int msbwt_sort_rows(const uint8_t* rows, int64_t n, int64_t l, int32_t* order) {
+  std::vector<int32_t> idx(n);
+  for (int64_t i = 0; i < n; ++i) idx[i] = (int32_t)i;
+  auto cmp = [rows, l](int32_t a, int32_t b) {
+    int c = memcmp(rows + (int64_t)a * l, rows + (int64_t)b * l, (size_t)l);
+    if (c != 0) return c < 0;
+    return a < b;  // stable
+  };
+#if defined(_OPENMP)
+  __gnu_parallel::sort(idx.begin(), idx.end(), cmp);
+#else
+  std::sort(idx.begin(), idx.end(), cmp);
+#endif
+  memcpy(order, idx.data(), n * sizeof(int32_t));
+  return 0;
+}
+
+// cols[j, i] = reads[order[i], lengths[order[i]] - j] for 1 <= j <= len, else
+// 0 — the [L+2, N] stage view (see ops.bcr.reads_to_cols), fused with the
+// row-gather by `order` so the sorted read matrix never materializes.
+int msbwt_reads_to_cols(const uint8_t* reads, const int32_t* lengths,
+                        const int32_t* order, int64_t n, int64_t l,
+                        uint8_t* cols /* (l+2) * n bytes */) {
+  memset(cols, 0, (size_t)(l + 2) * n);
+#if defined(_OPENMP)
+#pragma omp parallel for schedule(static)
+#endif
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t src = order ? order[i] : i;
+    int32_t len = lengths[src];
+    if (len < 0) continue;
+    const uint8_t* row = reads + src * l;
+    for (int32_t j = 1; j <= len; ++j) {
+      cols[(int64_t)j * n + i] = row[len - j];
+    }
+  }
+  return 0;
 }
 
 }  // extern "C"

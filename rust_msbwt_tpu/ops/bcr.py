@@ -159,8 +159,22 @@ def build_msbwt(
     if N == 0:
         return base if device_out else np.asarray(base)
 
+    host_cols = None
     if sorted_insert:
-        reads, lengths = sort_reads(reads, lengths)
+        from rust_msbwt_tpu.utils.native import (
+            reads_to_cols_native,
+            sort_rows_native,
+        )
+
+        order = sort_rows_native(reads)
+        if order is not None:
+            # native fused path: argsort + gather + column view in C++
+            host_cols = reads_to_cols_native(reads, lengths, order)
+            lengths = lengths[order]
+            if n0:
+                reads = reads[order]  # only the extend path reads rows again
+        else:
+            reads, lengths = sort_reads(reads, lengths)
         if n0 == 0:
             base_pos = np.zeros(N, dtype=np.int32)
         else:
@@ -190,8 +204,12 @@ def build_msbwt(
     if engine is None:
         engine = default_engine()
     interpret = engine == "pallas" and jax.default_backend() not in ("tpu", "axon")
-    cols_on_device = bool(np.all(lengths == L))
-    host_view = reads if cols_on_device else reads_to_cols(reads, lengths)
+    if host_cols is not None:
+        cols_on_device = False
+        host_view = host_cols
+    else:
+        cols_on_device = bool(np.all(lengths == L))
+        host_view = reads if cols_on_device else reads_to_cols(reads, lengths)
     out = _bcr_insert(
         base,
         jnp.asarray(q1),

@@ -33,7 +33,8 @@ def _build() -> bool:
         return False
     if os.path.isfile(_LIB) and os.path.getmtime(_LIB) >= os.path.getmtime(src):
         return True
-    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", src, "-o", _LIB, "-lz"]
+    cmd = ["g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC", src,
+           "-o", _LIB, "-lz"]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         return True
@@ -71,6 +72,17 @@ def get_lib():
         lib.msbwt_rle_encode.restype = ctypes.c_int64
         lib.msbwt_rle_encode.argtypes = [
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
+        lib.msbwt_sort_rows.restype = ctypes.c_int
+        lib.msbwt_sort_rows.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.msbwt_reads_to_cols.restype = ctypes.c_int
+        lib.msbwt_reads_to_cols.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_uint8),
         ]
         _lib = lib
@@ -124,3 +136,43 @@ def rle_encode_native(syms: np.ndarray):
     out = np.empty(n_bytes, dtype=np.uint8)
     lib.msbwt_rle_encode(p, syms.size, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
     return out
+
+
+def sort_rows_native(reads: np.ndarray):
+    """Lexicographic argsort of fixed-width uint8 rows, or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    reads = np.ascontiguousarray(reads, dtype=np.uint8)
+    n, l = reads.shape
+    order = np.empty(n, dtype=np.int32)
+    lib.msbwt_sort_rows(
+        reads.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(n), ctypes.c_int64(l),
+        order.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return order
+
+
+def reads_to_cols_native(reads: np.ndarray, lengths: np.ndarray,
+                         order: np.ndarray | None = None):
+    """Fused gather-by-order + column-major stage view, or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    reads = np.ascontiguousarray(reads, dtype=np.uint8)
+    lengths = np.ascontiguousarray(lengths, dtype=np.int32)
+    n, l = reads.shape
+    cols = np.empty(((l + 2), n), dtype=np.uint8)
+    order_p = (
+        np.ascontiguousarray(order, dtype=np.int32).ctypes.data_as(
+            ctypes.POINTER(ctypes.c_int32))
+        if order is not None else None
+    )
+    lib.msbwt_reads_to_cols(
+        reads.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        order_p, ctypes.c_int64(n), ctypes.c_int64(l),
+        cols.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return cols

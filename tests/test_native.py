@@ -66,3 +66,38 @@ def test_parse_golden_two_string(lib):
 def test_parse_missing_file(lib):
     with pytest.raises(ValueError):
         native.parse_fastx_native("/nonexistent/file.fa")
+
+
+def test_sort_rows_native_matches_numpy():
+    from rust_msbwt_tpu.utils.native import sort_rows_native
+
+    rng = np.random.default_rng(11)
+    reads = rng.integers(0, 6, size=(3000, 23)).astype(np.uint8)
+    order = sort_rows_native(reads)
+    if order is None:
+        pytest.skip("native toolchain unavailable")
+    want = np.argsort(
+        reads.view(np.dtype((np.void, reads.shape[1]))).ravel(), kind="stable"
+    )
+    assert np.array_equal(order, want.astype(np.int32))
+
+
+def test_reads_to_cols_native_matches_python():
+    from rust_msbwt_tpu.ops.bcr import reads_to_cols
+    from rust_msbwt_tpu.utils.native import reads_to_cols_native, sort_rows_native
+
+    rng = np.random.default_rng(13)
+    L = 19
+    reads = np.zeros((500, L), np.uint8)
+    lengths = rng.integers(1, L + 1, 500).astype(np.int32)
+    for i, l in enumerate(lengths):
+        reads[i, :l] = rng.integers(1, 6, l)
+    order = sort_rows_native(reads)
+    if order is None:
+        pytest.skip("native toolchain unavailable")
+    got = reads_to_cols_native(reads, lengths, order)
+    want = reads_to_cols(reads[order], lengths[order])
+    assert np.array_equal(got, want)
+    # identity order
+    got2 = reads_to_cols_native(reads, lengths, None)
+    assert np.array_equal(got2, reads_to_cols(reads, lengths))
