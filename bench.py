@@ -124,7 +124,6 @@ def main():
 
     # --- host sequential baseline (reference-loop semantics) ---
     from rust_msbwt_tpu.models.rle_bwt import RleBWT
-    from rust_msbwt_tpu.models.core import BWTRange
     from rust_msbwt_tpu.ops.rle import bytes_from_runs, runs_from_symbols
 
     host = RleBWT()

@@ -18,13 +18,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from rust_msbwt_tpu.ops.alphabet import (
-    COUNT_MASK,
-    LETTER_BITS,
-    MASK,
-    NUM_POWER,
-    VC_LEN,
-)
+from rust_msbwt_tpu.ops.alphabet import COUNT_MASK, LETTER_BITS, MASK, VC_LEN
 
 _MAX_DIGITS = 13  # ceil(64 / 5): a u64 count has at most 13 base-32 digits
 

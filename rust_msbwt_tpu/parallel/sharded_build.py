@@ -25,8 +25,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from rust_msbwt_tpu.ops.alphabet import VC_LEN
-from rust_msbwt_tpu.ops.bcr import (bcr_insert_core, encode_reads,
-                                    reads_to_cols, sort_reads)
+from rust_msbwt_tpu.ops.bcr import bcr_insert_core, reads_to_cols, sort_reads
 from rust_msbwt_tpu.ops.merge import kway_merge
 from rust_msbwt_tpu.parallel.mesh import AXIS, default_mesh
 

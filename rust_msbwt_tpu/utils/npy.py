@@ -16,7 +16,6 @@ header dict, and errors if ``shape[0]`` differs from the remaining file size.
 from __future__ import annotations
 
 import ast
-import io
 import os
 
 import numpy as np

@@ -64,6 +64,48 @@ class StreamingBuilder:
             return np.zeros(0, dtype=np.uint8)
         return np.asarray(self._bwt)
 
+    # --- checkpoint / resume (elastic recovery for long ingestions; the
+    # reference's "the npy IS the checkpoint" flow, ref: src/lib.rs:30-43,
+    # at batch granularity) ---
+
+    def checkpoint(self, path: str) -> None:
+        """Persist the accumulated BWT + builder state to ``path`` (npy with
+        the reference's exact header) and ``path + '.meta.json'``."""
+        import json
+
+        from rust_msbwt_tpu.ops.rle import runs_from_symbols
+        from rust_msbwt_tpu.utils.npy import save_bwt_runs
+
+        save_bwt_runs(*runs_from_symbols(self.finish()), path)
+        with open(path + ".meta.json", "w") as fp:
+            json.dump(
+                {
+                    "string_count": self._string_count,
+                    "rot_max": self._rot_max,
+                    "sorted_insert": self.sorted_insert,
+                },
+                fp,
+            )
+
+    @classmethod
+    def restore(cls, path: str) -> "StreamingBuilder":
+        """Resume a checkpointed ingestion; subsequent ``add_batch`` calls
+        extend the restored BWT."""
+        import json
+
+        from rust_msbwt_tpu.ops.rle import decode_symbols
+        from rust_msbwt_tpu.utils.npy import load_bwt_bytes
+
+        with open(path + ".meta.json") as fp:
+            meta = json.load(fp)
+        b = cls(sorted_insert=bool(meta["sorted_insert"]))
+        decoded = decode_symbols(load_bwt_bytes(path))
+        if decoded.size:
+            b._bwt = decoded
+        b._string_count = int(meta["string_count"])
+        b._rot_max = int(meta["rot_max"])
+        return b
+
 
 def build_msbwt_streaming(
     reads: np.ndarray,

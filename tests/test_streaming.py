@@ -41,3 +41,22 @@ def test_streaming_variable_batch_shapes():
 
 def test_streaming_empty():
     assert StreamingBuilder().finish().size == 0
+
+
+def test_streaming_checkpoint_resume(tmp_path):
+    path = str(tmp_path / "ck.npy")
+    batches = [_reads(6, seed=s) for s in (41, 42, 43)]
+    # uninterrupted
+    b = StreamingBuilder()
+    for batch in batches:
+        b.add_batch(*encode_reads(batch))
+    want = b.finish()
+    # checkpoint after batch 1, restore, continue
+    b2 = StreamingBuilder()
+    b2.add_batch(*encode_reads(batches[0]))
+    b2.checkpoint(path)
+    b3 = StreamingBuilder.restore(path)
+    assert b3.string_count == 6
+    for batch in batches[1:]:
+        b3.add_batch(*encode_reads(batch))
+    assert np.array_equal(b3.finish(), want)
