@@ -52,7 +52,7 @@ CHUNK = CS * 128
 _PAD = 7
 
 
-def _merge_kernel(ca_ref, old_ref, ti_ref, out_ref, buf, sems):
+def _merge_kernel(ca_ref, old_ref, ti_ref, out_ref, buf, nbuf, sems):
     """One output chunk. Grid dim 0 walks phys chunks. Chunk 0 (front guard)
     and the last two chunks (back guard; the third back-guard chunk still
     runs the DMA path and lands on old-buffer PAD) are written as PAD without
@@ -65,22 +65,44 @@ def _merge_kernel(ca_ref, old_ref, ti_ref, out_ref, buf, sems):
     first = 1
     last = nc - 3  # last chunk that runs the DMA path
 
-    def window_dma(i):
-        # old-window for chunk i: phys elements [P0 - a - CHUNK, P0 - a + CHUNK).
+    def narrow(i):
+        # < 128 insertions: every source row lies in window rows
+        # [CS-1, 2*CS+2) — fetch only those (the common case; 2.4x less DMA)
+        return ca_ref[i + 1] - ca_ref[i] < 128
+
+    def window_dma_narrow(i):
         # NOTE: DMA row counts must be multiples of 8 — unaligned counts
         # hard-fault the TPU runtime (probed empirically).
         row_lo = (i * CHUNK - ca_ref[i] - CHUNK) // 128  # >= 0: front guard
         return pltpu.make_async_copy(
+            old_ref.at[pl.ds(row_lo + (CS - 1), CS + 8), :],
+            nbuf.at[i % 2],
+            sems.at[i % 2],
+        )
+
+    def window_dma_wide(i):
+        # full window: sources may reach back a whole chunk
+        row_lo = (i * CHUNK - ca_ref[i] - CHUNK) // 128
+        return pltpu.make_async_copy(
             old_ref.at[pl.ds(row_lo, 3 * CS), :], buf.at[i % 2], sems.at[i % 2]
         )
 
+    def start_dma(i):
+        @pl.when(narrow(i))
+        def _():
+            window_dma_narrow(i).start()
+
+        @pl.when(jnp.logical_not(narrow(i)))
+        def _():
+            window_dma_wide(i).start()
+
     @pl.when(c == first)
     def _():
-        window_dma(first).start()
+        start_dma(first)
 
     @pl.when((c >= first) & (c < last))
     def _():
-        window_dma(c + 1).start()
+        start_dma(c + 1)
 
     guard = (c == 0) | (c >= nc - 2)
 
@@ -90,34 +112,58 @@ def _merge_kernel(ca_ref, old_ref, ti_ref, out_ref, buf, sems):
 
     @pl.when(jnp.logical_not(guard))
     def _():
-        window_dma(c).wait()
         ti = ti_ref[:]  # packed per-position word: (shift-count << 3) | insval
         ins = ti & 7
         is_ins = (ins > 0).astype(jnp.int32)
         a = ca_ref[c]  # insertions strictly before the chunk start
+        nins = ca_ref[c + 1] - a
         tloc = (ti >> 3) - a - is_ins
 
         src0 = c * CHUNK - a
         row_lo = (src0 - CHUNK) // 128
         lane = jax.lax.broadcasted_iota(jnp.int32, (CS, 128), 1)
-        win = buf.at[c % 2]
-
         sub = jax.lax.broadcasted_iota(jnp.int32, (CS, 128), 0)
+        win = buf.at[c % 2]  # wide-path window (full 3*CS rows)
         # source index into the window, monotone with steps in {0, 1}:
         # fw(s, l) = (src0 - window_base) + 128 s + l - shift_local(s, l)
         fw = (src0 - row_lo * 128) + sub * 128 + lane - tloc
-        rows = []
-        for s in range(CS):
-            fw_row = fw[s : s + 1, :]  # [1, 128]
-            xr0 = fw[s, 0] // 128
-            pair = win[pl.ds(xr0, 8), :]  # rows 0..1 hold the span
-            off = fw_row - xr0 * 128  # in [0, 256)
-            off_b = jnp.broadcast_to(off, (8, 128))
-            g_a = jnp.take_along_axis(pair, jnp.clip(off_b, 0, 127), axis=1)
-            g_b = jnp.take_along_axis(pair, jnp.clip(off_b - 128, 0, 127), axis=1)
-            rows.append(jnp.where(off < 128, g_a[0:1], g_b[1:2]))
-        shifted = jnp.concatenate(rows, axis=0)
-        out_ref[:] = jnp.where(ins > 0, ins - 1, shifted)
+
+        # fast path (any chunk with < 128 insertions): with tloc < 128 every
+        # output row s reads only window rows {s+CS-1, s+CS, s+CS+1}, so
+        # THREE statically-shifted (CS,128) views + three full-tile
+        # lane-gathers reconstruct the whole chunk — no per-row loop.
+        @pl.when(nins < 128)
+        def _():
+            window_dma_narrow(c).wait()
+            fw128 = fw - 128 * (sub + (CS - 1))  # in [0, 384)
+            m = fw128 >> 7                       # source view 0..2
+            idx = fw128 & 127
+            g = []
+            for mm in range(3):
+                v = nbuf[c % 2, pl.ds(mm, CS), :]
+                g.append(jnp.take_along_axis(v, idx, axis=1))
+            shifted = jnp.where(m == 0, g[0], jnp.where(m == 1, g[1], g[2]))
+            out_ref[:] = jnp.where(ins > 0, ins - 1, shifted)
+
+        # wide path (>= 128 insertions in one chunk — e.g. many duplicate
+        # reads): per-row reconstruction, each row spans <= 2 window rows
+        @pl.when(nins >= 128)
+        def _():
+            window_dma_wide(c).wait()
+            rows = []
+            for s in range(CS):
+                fw_row = fw[s : s + 1, :]  # [1, 128]
+                xr0 = fw[s, 0] // 128
+                pair = win[pl.ds(xr0, 8), :]  # rows 0..1 hold the span
+                off = fw_row - xr0 * 128  # in [0, 256)
+                off_b = jnp.broadcast_to(off, (8, 128))
+                g_a = jnp.take_along_axis(pair, jnp.clip(off_b, 0, 127), axis=1)
+                g_b = jnp.take_along_axis(
+                    pair, jnp.clip(off_b - 128, 0, 127), axis=1
+                )
+                rows.append(jnp.where(off < 128, g_a[0:1], g_b[1:2]))
+            shifted = jnp.concatenate(rows, axis=0)
+            out_ref[:] = jnp.where(ins > 0, ins - 1, shifted)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -136,6 +182,7 @@ def _merge_call(chunk_a, old_phys, ti_phys, *, interpret=False):
         ),
         scratch_shapes=[
             pltpu.VMEM((2, 3 * CS, 128), jnp.int32),
+            pltpu.VMEM((2, CS + 8, 128), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
