@@ -46,7 +46,13 @@ class PackedOccIndex(NamedTuple):
 
 
 def pack_index(index: OccIndex) -> PackedOccIndex:
-    """Build the packed table from a standard ``OccIndex`` (device, one pass)."""
+    """Build the packed table from a standard ``OccIndex`` (device, one pass).
+
+    The table carries one extra terminal row (occ lanes = totals, plane
+    words = 0): a rank at pos == n with n a multiple of BIN indexes bin
+    ``n // BIN``, which only exists as a boundary row — without it the row
+    gather goes out of range (jnp.take fill mode) and the rank is garbage.
+    """
     nb = index.bwt.shape[0] // BIN
     syms = index.bwt.reshape(nb, BIN).astype(jnp.int32)  # PAD=7 has all bits set
     w = syms.reshape(nb, 4, 32)
@@ -56,11 +62,11 @@ def pack_index(index: OccIndex) -> PackedOccIndex:
         bits = (w >> p) & 1
         words = jnp.sum(bits << k[None, None, :], axis=2, dtype=jnp.int32)  # [nb,4]
         planes.append(words)
-    table = jnp.zeros((nb, ROW), jnp.int32)
-    table = table.at[:, :VC_LEN].set(index.occ[:nb])
-    table = table.at[:, 8:12].set(planes[0])
-    table = table.at[:, 12:16].set(planes[1])
-    table = table.at[:, 16:20].set(planes[2])
+    table = jnp.zeros((nb + 1, ROW), jnp.int32)
+    table = table.at[:, :VC_LEN].set(index.occ[: nb + 1])
+    table = table.at[:nb, 8:12].set(planes[0])
+    table = table.at[:nb, 12:16].set(planes[1])
+    table = table.at[:nb, 16:20].set(planes[2])
     return PackedOccIndex(table=table, starts=index.starts, n=index.n)
 
 

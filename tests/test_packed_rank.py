@@ -66,3 +66,17 @@ def test_count_kmers_parity_with_cache():
     a = count_kmers(idx, kmers, klens, cache=cache, cache_k=3)
     b = count_kmers_packed(pidx, kmers, klens, cache=cache, cache_k=3)
     assert np.array_equal(a, b)
+
+
+def test_rank_at_bin_multiple_boundary():
+    """Regression: rank(sym, n) with n a multiple of BIN must hit the
+    terminal table row, not an out-of-range gather (which fills garbage)."""
+    rng = np.random.default_rng(2)
+    for n in (128, 256, 4096):
+        syms = rng.integers(0, 6, n).astype(np.uint8)
+        idx = build_occ_index(jnp.asarray(syms))
+        pidx = pack_index(idx)
+        for s in range(6):
+            want = int((syms == s).sum())
+            got = int(rank_packed(pidx.table, jnp.array([s]), jnp.array([n]))[0])
+            assert got == want, (n, s)
