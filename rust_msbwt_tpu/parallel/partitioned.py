@@ -39,10 +39,9 @@ _PAD_SYMBOL = 7
 
 
 class PartitionedIndex(NamedTuple):
-    """Per-device BWT shards + per-shard occ tables (never merged)."""
+    """Per-device BWT shards + per-shard packed rank tables (never merged)."""
 
-    bwt: jax.Array      # uint8 [D, S] — shard d's own BWT, PAD-padded
-    occ: jax.Array      # int32 [D, SB+1, 6] per-shard occ checkpoints
+    table: jax.Array    # int32 [D, SB+1, 32] per-shard packed rank rows
     starts: jax.Array   # int32 [D, VC_LEN + 1] per-shard C arrays
     sizes: jax.Array    # int32 [D] true per-shard BWT lengths
     mesh: Mesh
@@ -111,13 +110,14 @@ def build_partitioned(
         jnp.asarray(cols_sh), jnp.asarray(lengths_sh), n_cap=n_cap, L=L,
         mesh=mesh,
     ))
-    # normalize tails to PAD and build per-shard occ/starts on host (one pass)
+    # normalize tails to PAD, then per-shard packed rank tables + C arrays
+    # (one host pass; layout == ops.packed_rank incl. the terminal row)
     pos = np.arange(n_cap)[None, :]
     parts = np.where(pos < sizes[:, None], parts, _PAD_SYMBOL).astype(np.uint8)
     SB = n_cap // BIN
+    syms = parts.reshape(D, SB, BIN)
     per_bin = (
-        parts.reshape(D, SB, BIN)[:, :, :, None]
-        == np.arange(VC_LEN, dtype=np.uint8)[None, None, None, :]
+        syms[:, :, :, None] == np.arange(VC_LEN, dtype=np.uint8)[None, None, None, :]
     ).sum(axis=2, dtype=np.int32)
     occ = np.concatenate(
         [np.zeros((D, 1, VC_LEN), np.int32), np.cumsum(per_bin, axis=1)], axis=1
@@ -127,42 +127,33 @@ def build_partitioned(
         [np.zeros((D, 1), np.int32), np.cumsum(totals, axis=1).astype(np.int32)],
         axis=1,
     )
+    table = np.zeros((D, SB + 1, 32), np.int32)
+    table[:, :, :VC_LEN] = occ
+    w = syms.astype(np.int64).reshape(D, SB, 4, 32)
+    k32 = (np.int64(1) << np.arange(32, dtype=np.int64))[None, None, None, :]
+    for p in range(3):
+        words = (((w >> p) & 1) * k32).sum(axis=3)
+        table[:, :SB, 8 + 4 * p : 12 + 4 * p] = (
+            (words & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
+        )
 
-    bwt_dev = jax.device_put(parts, NamedSharding(mesh, P(AXIS, None)))
-    occ_dev = jax.device_put(occ, NamedSharding(mesh, P(AXIS, None, None)))
+    table_dev = jax.device_put(table, NamedSharding(mesh, P(AXIS, None, None)))
     starts_dev = jax.device_put(starts, NamedSharding(mesh, P(AXIS, None)))
     sizes_dev = jax.device_put(sizes.astype(np.int32), NamedSharding(mesh, P(AXIS)))
     return PartitionedIndex(
-        bwt=bwt_dev, occ=occ_dev, starts=starts_dev, sizes=sizes_dev, mesh=mesh
+        table=table_dev, starts=starts_dev, sizes=sizes_dev, mesh=mesh
     )
 
 
-@functools.partial(jax.jit, static_argnames=("S", "mesh"))
-def _count_partitioned_impl(bwt, occ, starts, sizes, kmers, lengths, *, S, mesh):
-    def program(bwt_blk, occ_blk, starts_blk, sizes_blk, kmers_rep, lengths_rep):
-        bwt_loc = bwt_blk[0]
-        occ_loc = occ_blk[0]
+@functools.partial(jax.jit, static_argnames=("mesh",))
+def _count_partitioned_impl(table, starts, sizes, kmers, lengths, *, mesh):
+    from rust_msbwt_tpu.ops.packed_rank import rank_packed
+
+    def program(table_blk, starts_blk, sizes_blk, kmers_rep, lengths_rep):
+        table_loc = table_blk[0]
         starts_loc = starts_blk[0]
         n_loc = sizes_blk[0]
         B, K = kmers_rep.shape
-        arange6 = jnp.arange(VC_LEN, dtype=jnp.int32)
-
-        def rank_loc(sym, pos):
-            b = pos // BIN
-            window = jnp.take(bwt_loc.reshape(S // BIN, BIN), b, axis=0)
-            occ_row = jnp.take(occ_loc, b, axis=0)
-            base = jnp.sum(
-                occ_row * (sym[:, None] == arange6[None, :]), axis=1,
-                dtype=jnp.int32,
-            )
-            in_r = (
-                jnp.arange(BIN, dtype=jnp.int32)[None, :] < (pos % BIN)[:, None]
-            )
-            local = jnp.sum(
-                (window == sym[:, None].astype(jnp.uint8)) & in_r, axis=1,
-                dtype=jnp.int32,
-            )
-            return base + local
 
         # lo must be shard-varying like hi (it feeds shard-local ranks)
         lo = jnp.zeros(B, jnp.int32) + (n_loc & 0)
@@ -173,7 +164,9 @@ def _count_partitioned_impl(bwt, occ, starts, sizes, kmers, lengths, *, S, mesh)
             sym = kmers_rep[:, K - 1 - t].astype(jnp.int32)
             active = t < lengths_rep
             s = jnp.where(active, sym, 0)
-            both = rank_loc(jnp.concatenate([s, s]), jnp.concatenate([lo, hi]))
+            both = rank_packed(
+                table_loc, jnp.concatenate([s, s]), jnp.concatenate([lo, hi])
+            )
             c = starts_loc[s]
             new_lo, new_hi = c + both[:B], c + both[B:]
             lo = jnp.where(active, new_lo, lo)
@@ -187,10 +180,10 @@ def _count_partitioned_impl(bwt, occ, starts, sizes, kmers, lengths, *, S, mesh)
     return shard_map(
         program,
         mesh=mesh,
-        in_specs=(P(AXIS, None), P(AXIS, None, None), P(AXIS, None), P(AXIS),
+        in_specs=(P(AXIS, None, None), P(AXIS, None), P(AXIS),
                   P(None, None), P(None)),
         out_specs=P(),
-    )(bwt, occ, starts, sizes, kmers, lengths)
+    )(table, starts, sizes, kmers, lengths)
 
 
 def count_kmers_partitioned(index: PartitionedIndex, kmers, lengths=None):
@@ -209,8 +202,8 @@ def count_kmers_partitioned(index: PartitionedIndex, kmers, lengths=None):
         raise AssertionError("partitioned counting takes k-mers over 1..5 "
                              "($-queries are position-space; use the merged BWT)")
     out = _count_partitioned_impl(
-        index.bwt, index.occ, index.starts, index.sizes,
-        jnp.asarray(kmers), jnp.asarray(np.asarray(lengths, np.int32)),
-        S=int(index.bwt.shape[1]), mesh=index.mesh,
+        index.table, index.starts, index.sizes,
+        jnp.asarray(kmers), jnp.asarray(lengths),
+        mesh=index.mesh,
     )
     return np.asarray(out)
