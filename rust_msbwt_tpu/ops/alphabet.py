@@ -43,7 +43,15 @@ STRING_TO_INT = _build_stoi()
 
 
 def convert_stoi(seq) -> np.ndarray:
-    """ASCII string/bytes -> int-encoded uint8 array (ref: src/string_util.rs:63-67)."""
+    """ASCII string/bytes -> int-encoded uint8 array (ref: src/string_util.rs:63-67).
+
+    >>> convert_stoi("ACGNT$").tolist()
+    [1, 2, 3, 4, 5, 0]
+    >>> convert_stoi("acgt").tolist()  # lower-case accepted
+    [1, 2, 3, 5]
+    >>> convert_stoi("AxA").tolist()   # every other byte maps to N
+    [1, 4, 1]
+    """
     if isinstance(seq, str):
         seq = seq.encode("latin-1")
     raw = np.frombuffer(bytes(seq), dtype=np.uint8)
@@ -51,12 +59,22 @@ def convert_stoi(seq) -> np.ndarray:
 
 
 def convert_itos(iseq) -> str:
-    """Int-encoded array -> ASCII string (ref: src/string_util.rs:80-88)."""
+    """Int-encoded array -> ASCII string (ref: src/string_util.rs:80-88).
+
+    >>> convert_itos([1, 2, 3, 4, 5, 0])
+    'ACGNT$'
+    """
     arr = np.asarray(iseq, dtype=np.uint8)
     return INT_TO_STRING[arr].tobytes().decode("latin-1")
 
 
 def reverse_complement_i(seq) -> np.ndarray:
-    """Reverse complement in integer space (ref: src/string_util.rs:45-50)."""
+    """Reverse complement in integer space (ref: src/string_util.rs:45-50).
+
+    >>> convert_itos(reverse_complement_i(convert_stoi("AACGT")))
+    'ACGTT'
+    >>> convert_itos(reverse_complement_i(convert_stoi("N$")))  # self-complement
+    '$N'
+    """
     arr = np.asarray(seq, dtype=np.uint8)
     return COMPLEMENT_INT[arr[::-1]]

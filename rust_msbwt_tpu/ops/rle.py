@@ -67,6 +67,11 @@ def runs_from_bytes_with_offsets(
 def bytes_from_runs(syms: np.ndarray, counts: np.ndarray) -> np.ndarray:
     """Encode maximal runs into RLE bytes (ref: src/bwt_converter.rs:161-169).
 
+    >>> bytes_from_runs([1], [3104]).tolist()  # 'A'x3104 -> digits 0,1,3
+    [1, 9, 25]
+    >>> bytes_from_runs([4], [32767]).tolist() == [0xFC] * 3  # 'N'x32767
+    True
+
     Each count >= 1 becomes little-endian base-32 digits; every digit byte
     carries the run's symbol. Assumes no two consecutive runs share a symbol.
     """
@@ -86,7 +91,12 @@ def bytes_from_runs(syms: np.ndarray, counts: np.ndarray) -> np.ndarray:
 
 
 def runs_from_symbols(decoded: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Extract maximal runs from a decoded symbol array."""
+    """Extract maximal runs from a decoded symbol array.
+
+    >>> syms, counts = runs_from_symbols([0, 1, 1, 1, 2])
+    >>> syms.tolist(), counts.tolist()
+    ([0, 1, 2], [1, 3, 1])
+    """
     decoded = np.asarray(decoded, dtype=np.uint8)
     if decoded.size == 0:
         return np.zeros(0, dtype=np.uint8), np.zeros(0, dtype=np.uint64)
