@@ -19,6 +19,7 @@ import time
 from dataclasses import dataclass
 
 import jax
+import numpy as np
 
 # HBM bandwidth per chip, bytes/s (v5e ≈ 8.2e11; override per target)
 DEFAULT_HBM_BW = 8.2e11
@@ -39,16 +40,26 @@ def annotate(name: str):
     return jax.profiler.TraceAnnotation(name)
 
 
+def _force_sync(out):
+    """Fence on actual completion. ``block_until_ready`` returns before
+    execution finishes on the axon-tunneled TPU (measured), so the only
+    reliable fence is a (tiny) host transfer of a result element."""
+    for leaf in jax.tree_util.tree_leaves(out):
+        if hasattr(leaf, "shape"):
+            np.asarray(leaf).ravel()[:1]
+            return
+
+
 def timeit(fn, *args, reps: int = 5, warmup: int = 1) -> float:
-    """Median-free steady-state seconds per call (mean over reps after warmup)."""
+    """Steady-state seconds per call (mean over reps after warmup)."""
     out = None
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _force_sync(out)
     t0 = time.perf_counter()
     for _ in range(reps):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _force_sync(out)
     return (time.perf_counter() - t0) / reps
 
 
@@ -64,17 +75,20 @@ class Roofline:
 
 
 def query_roofline(n_queries: int, k: int, measured_seconds: float,
-                   hbm_bw: float = DEFAULT_HBM_BW) -> Roofline:
-    """Bytes model for batched count_kmer: per LF step, two ranks, each one
-    128-byte bin row + one 24-byte occ row (occ fits cache for small n, so
-    this is an upper bound on required traffic)."""
-    bytes_touched = n_queries * k * 2 * (128 + 24)
+                   hbm_bw: float = DEFAULT_HBM_BW, cache_k: int = 0) -> Roofline:
+    """Bytes model for batched count_kmer on the packed index: per LF step,
+    two ranks, each ONE 128-byte packed row gather (ops.packed_rank); a
+    prefix cache skips the first ``cache_k`` steps."""
+    steps = max(k - cache_k, 0)
+    bytes_touched = n_queries * (steps * 2 * 128 + (8 if cache_k else 0))
     return Roofline(bytes_touched, bytes_touched / hbm_bw, measured_seconds)
 
 
 def build_roofline(n_symbols: int, max_read_len: int, measured_seconds: float,
                    hbm_bw: float = DEFAULT_HBM_BW) -> Roofline:
-    """Bytes model for BCR construction: each of ~max_read_len stages streams
-    the buffer (read+write, u8) and its occ rebuild (~6x compare-reduce reads)."""
-    bytes_touched = (max_read_len + 1) * n_symbols * (2 + 6)
+    """Bytes model for the Pallas BCR engine: each of ~max_read_len stages
+    streams the int32 phys buffer through the merge kernel (window read ~5B +
+    out write 4B per symbol), the packed shift/value stream (write+read, 8B),
+    its scatter/matmul prep (~8B) and the rank-table rebuild (~8B)."""
+    bytes_touched = (max_read_len + 1) * n_symbols * (5 + 4 + 8 + 8 + 8)
     return Roofline(bytes_touched, bytes_touched / hbm_bw, measured_seconds)
