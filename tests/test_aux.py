@@ -92,6 +92,6 @@ def test_rooflines_and_timeit():
     r = query_roofline(1_000_000, 21, measured_seconds=0.25)
     assert 0 < r.fraction_of_light < 1
     b = build_roofline(1_000_000, 100, measured_seconds=1.0)
-    assert b.bytes_touched == 101 * 1_000_000 * 8
+    assert b.bytes_touched == 101 * 1_000_000 * 33
     dt = timeit(lambda: np.arange(10), reps=2, warmup=1)
     assert dt >= 0
