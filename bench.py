@@ -45,6 +45,11 @@ def make_queries(reads, n_queries=1_000_000, k=21, seed=0xFACE):
 
 def main():
     import jax
+
+    try:  # persistent compile cache: the BCR loop compile dominates cold runs
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from rust_msbwt_tpu.ops.bcr import build_msbwt

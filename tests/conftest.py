@@ -19,6 +19,10 @@ import jax  # noqa: E402
 # the environment pre-sets JAX_PLATFORMS=axon (the TPU tunnel); force CPU for
 # the test suite regardless
 jax.config.update("jax_platforms", "cpu")
+try:  # persistent compile cache across test runs (BCR compiles dominate)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache_cpu")
+except Exception:
+    pass
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

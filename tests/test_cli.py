@@ -75,3 +75,31 @@ def test_build_cli_streaming_batches(tmp_path):
     assert build_main(["-o", str(out1), GOLDEN_FA]) == 0
     assert build_main(["-o", str(out2), "--batch-size", "1", GOLDEN_FA]) == 0
     assert out1.read_bytes() == out2.read_bytes()
+
+
+def test_query_cli(tmp_path, capsys):
+    from rust_msbwt_tpu.cli.query import main as query_main
+
+    out = tmp_path / "q.npy"
+    assert build_main(["-o", str(out), GOLDEN_FA]) == 0
+    assert query_main([str(out), "ACGT", "TGCA", "$", "GGG"]) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert lines == ["ACGT\t1", "TGCA\t1", "$\t2", "GGG\t0"]
+
+
+def test_query_cli_from_file(tmp_path, capsys):
+    from rust_msbwt_tpu.cli.query import main as query_main
+
+    out = tmp_path / "q.npy"
+    assert build_main(["-o", str(out), GOLDEN_FA]) == 0
+    kf = tmp_path / "kmers.txt"
+    kf.write_text("ACGT\nCA\n")
+    assert query_main([str(out), "-i", str(kf), "--cache-k", "2"]) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert lines == ["ACGT\t1", "CA\t1"]
+
+
+def test_query_cli_missing_bwt():
+    from rust_msbwt_tpu.cli.query import main as query_main
+
+    assert query_main(["/nonexistent.npy", "ACGT"]) == 66
