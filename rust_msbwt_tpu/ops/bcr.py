@@ -500,7 +500,7 @@ def default_engine() -> str:
 
 
 @functools.partial(jax.jit, static_argnames=("n", "t_total"))
-def _terminator_positions_impl(bwt, occ, starts, n, reads, lengths, steps, t_total):
+def _terminator_positions_impl(table, starts, n, reads, lengths, steps, t_total):
     """Batched *cyclic* backward search: the true rotation-order rank of each
     new read's terminator rotation among the existing terminator rotations.
 
@@ -514,7 +514,8 @@ def _terminator_positions_impl(bwt, occ, starts, n, reads, lengths, steps, t_tot
     steps — a whole number of cycles, so the walk ends on a '$' step and the
     running upper bound is the terminator rank.
     """
-    index = OccIndex(bwt=bwt, occ=occ, starts=starts, n=n)
+    from rust_msbwt_tpu.ops.packed_rank import rank_packed
+
     N, L = reads.shape
     pos = jnp.full(N, n, jnp.int32)
     m = lengths + 1  # cycle length of '$' + S
@@ -531,7 +532,7 @@ def _terminator_positions_impl(bwt, occ, starts, n, reads, lengths, steps, t_tot
                 reads, jnp.clip(r - 1, 0, L - 1)[:, None], axis=1
             )[:, 0].astype(jnp.int32),
         )
-        new_pos = index.starts[sym] + _rank(index, sym, pos)
+        new_pos = starts[sym] + rank_packed(table, sym, pos)
         return jnp.where(active, new_pos, pos)
 
     return jax.lax.fori_loop(0, t_total, step, pos)
@@ -562,6 +563,8 @@ def terminator_positions(index: OccIndex, reads, lengths, base_rot_max: int):
     ``base_rot_max`` must be >= the longest rotation (read length + 1)
     present in the base BWT.
     """
+    from rust_msbwt_tpu.ops.packed_rank import pack_index
+
     lengths = jnp.asarray(lengths, dtype=jnp.int32)
     reads = jnp.asarray(reads)
     m = lengths + 1
@@ -569,6 +572,7 @@ def terminator_positions(index: OccIndex, reads, lengths, base_rot_max: int):
     steps = reps * m
     L = int(reads.shape[1])
     t_total = int(base_rot_max) + 2 * (L + 1)
+    pidx = pack_index(index)  # one packed-row gather per LF step
     return _terminator_positions_impl(
-        index.bwt, index.occ, index.starts, index.n, reads, lengths, steps, t_total
+        pidx.table, pidx.starts, index.n, reads, lengths, steps, t_total
     )
