@@ -7,9 +7,12 @@ src/rle_bplus_tree.rs, src/run_block_av_flat.rs). That algorithm is
 inherently sequential. Here we build the *same mathematical object* with a
 batched column-wise algorithm in the BCR / "massively parallel BWT of large
 string sets" family (see PAPERS.md): all N reads advance together, one
-suffix-column per step, and every step is a fixed-shape composition of
-gather, scatter, sort and cumsum that XLA maps onto the TPU vector unit
-inside a single ``lax.fori_loop``.
+suffix-column per step, inside a single ``lax.fori_loop``. On TPU each step
+is (1) a batched rank of every read's previous symbol — one packed-row
+gather + popcount over a table rebuilt with MXU matmuls — and (2) a bulk
+merge-insert of the N new symbols through the Pallas kernel in
+``ops.pallas_merge`` (``engine="pallas"``); the ``engine="xla"`` fallback
+expresses the same step as gather/scatter/cumsum for CPU meshes.
 
 Correctness contract (proved by the oracle tests): the reference's *sorted*
 insertion makes the output independent of input order — each string lands at

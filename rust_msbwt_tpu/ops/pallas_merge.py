@@ -17,15 +17,19 @@ This implementation replaces the scatter with streaming DMA + in-row gathers:
   - both ship to the kernel as ONE packed word per position,
     ``(tmap << 3) | insval`` (insval < 8; tmap <= N < 2^28)
 * Kernel, gridded over output chunks of ``CHUNK = CS*128`` elements:
-  - one dynamic-start DMA pulls the old-buffer window
-    ``old[P0 - a - CHUNK, P0 - a + CHUNK)`` into VMEM (``a`` = insertions
-    before the chunk; insertions inside one chunk are <= CHUNK because
-    insertion slots are distinct positions, so the window is static-size),
+  - one dynamic-start, double-buffered DMA pulls the old-buffer window into
+    VMEM (``a`` = insertions before the chunk, from the scalar-prefetched
+    per-chunk offsets; insertions inside one chunk are <= CHUNK because
+    insertion slots are distinct positions, so window sizes are static);
+    chunks with < 128 insertions — the common case — fetch only the CS+8
+    rows they can touch,
   - the source index ``fw(j) = j - shift(j)`` is monotone with steps in
-    {0,1}, so each 128-lane output row reads from at most TWO consecutive
-    window rows: per row, one dynamic 8-row slice + two lane-gathers
-    (``take_along_axis`` on the 128-lane axis) + selects reconstruct the
-    shifted data at fixed cost — no data-dependent loop, no scatter.
+    {0,1}. Fast path (< 128 insertions): every output row reads only window
+    rows {s+CS-1, s+CS, s+CS+1}, so THREE statically-shifted (CS,128) views
+    + three full-tile lane-gathers (``take_along_axis`` on the 128-lane
+    axis) reconstruct the whole chunk. Wide path (>= 128): per-row
+    reconstruction from a 2-chunk window. No data-dependent loop over
+    insertions, no scatter.
 
 Empirical TPU constraints baked in (probed on v5e): DMA row counts must be
 multiples of 8 (unaligned counts hard-fault the runtime); gathers exist only
