@@ -87,6 +87,41 @@ def main() -> int:
     check("packed device counts == sequential host loop",
           dev.tolist() == seq)
 
+    # 3b. merge-kernel randomized sweep on real hardware (fast + wide paths)
+    from rust_msbwt_tpu.ops.pallas_merge import (
+        _PAD,
+        from_phys,
+        merge_insert_phys,
+        to_phys,
+    )
+
+    def merge_case(n_old, n_ins, seed):
+        r = np.random.default_rng(seed)
+        n_cap = n_old + n_ins
+        old = r.integers(0, 6, n_old).astype(np.int32)
+        q = np.sort(r.choice(n_cap, n_ins, replace=False)).astype(np.int32)
+        v = r.integers(0, 6, n_ins).astype(np.int32)
+        old_log = np.full(n_cap, _PAD, np.int32)
+        old_log[:n_old] = old
+        phys = to_phys(jnp.asarray(old_log), n_cap)
+        new, _ = merge_insert_phys(
+            phys, jnp.asarray(q), jnp.asarray(v), jnp.ones(n_ins, bool)
+        )
+        got = np.asarray(from_phys(new, n_cap))
+        want = np.full(n_cap, -1, np.int32)
+        want[q] = v
+        mask = np.ones(n_cap, bool)
+        mask[q] = False
+        want[mask] = old
+        return np.array_equal(got, want)
+
+    ok = True
+    for i, (n_old, n_ins) in enumerate(
+        [(50_000, 40_000), (200_000, 37), (99_999, 5_000), (4_096, 4_096)]
+    ):
+        ok &= merge_case(n_old, n_ins, seed=100 + i)
+    check("merge kernel randomized sweep (fast + wide paths)", ok)
+
     # 4. extend flow parity
     base_l = [rng.integers(1, 6, 30).astype(np.uint8) for _ in range(50)]
     base_r, base_len = encode_reads(base_l)
