@@ -58,6 +58,27 @@ class BWTBase:
             rng = self.constrain_range(int(c), rng)
         return rng.h - rng.l
 
+    def kmer_profile(self, reads, k: int) -> np.ndarray:
+        """Counts of every length-``k`` window of each read: ``[B, L]`` int
+        reads -> ``[B, L - k + 1]`` counts.
+
+        The k-mer profile drives the original msbwt's headline application
+        (read error correction: low-count windows flag errors). Windows are
+        materialized and answered as one batched ``count_kmers`` program —
+        BWT ranges only extend leftward, so sliding windows cannot share
+        search state without a bidirectional index.
+        """
+        reads = np.asarray(reads, dtype=np.uint8)
+        if reads.ndim == 1:
+            reads = reads[None, :]
+        B, L = reads.shape
+        if not 1 <= k <= L:
+            raise ValueError(f"k={k} out of range for reads of length {L}")
+        w = L - k + 1
+        windows = np.lib.stride_tricks.sliding_window_view(reads, k, axis=1)
+        counts = self.count_kmers(windows.reshape(B * w, k))
+        return counts.reshape(B, w)
+
     def count_kmers(self, kmers, lengths=None) -> np.ndarray:
         """Batched ``count_kmer``: ``[B, K]`` right-aligned int k-mers -> ``[B]``.
 

@@ -159,3 +159,23 @@ def test_golden_two_string_queries():
     assert bwt.count_kmer(convert_stoi("$")) == 2
     assert bwt.get_symbol_count(0) == 2
     assert bwt.get_total_size() == 10
+
+
+def test_kmer_profile():
+    """Window counts of every read position (the error-correction primitive)."""
+    from rust_msbwt_tpu.ops.bcr import build_msbwt, encode_reads
+    from rust_msbwt_tpu.ops.rle import bytes_from_runs, runs_from_symbols
+
+    rng = np.random.default_rng(8)
+    reads_l = [rng.integers(1, 6, 20).astype(np.uint8) for _ in range(30)]
+    reads, lens = encode_reads(reads_l)
+    decoded = build_msbwt(reads, lens)
+    bwt = RleBWT()
+    bwt.load_vector(bytes_from_runs(*runs_from_symbols(decoded)))
+    k = 5
+    prof = bwt.kmer_profile(reads[:4], k)
+    assert prof.shape == (4, 20 - k + 1)
+    for i in range(4):
+        for j in range(20 - k + 1):
+            assert prof[i, j] == bwt.count_kmer(reads[i, j : j + k])
+    assert (prof >= 1).all()  # every window occurs at least in its own read
