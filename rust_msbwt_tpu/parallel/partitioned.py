@@ -145,8 +145,9 @@ def build_partitioned(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("mesh",))
-def _count_partitioned_impl(table, starts, sizes, kmers, lengths, *, mesh):
+@functools.partial(jax.jit, static_argnames=("mesh", "wide"))
+def _count_partitioned_impl(table, starts, sizes, kmers, lengths, *, mesh,
+                            wide=False):
     from rust_msbwt_tpu.ops.packed_rank import rank_packed
 
     def program(table_blk, starts_blk, sizes_blk, kmers_rep, lengths_rep):
@@ -174,8 +175,13 @@ def _count_partitioned_impl(table, starts, sizes, kmers, lengths, *, mesh):
             return lo, hi
 
         lo, hi = jax.lax.fori_loop(0, K, step, (lo, hi))
-        # one collective total: D partial counts -> the union's counts
-        return jax.lax.psum(hi - lo, AXIS)
+        # one collective total: D partial counts -> the union's counts.
+        # Per-shard counts are < 2^31 (shards are), but the SUM can exceed
+        # int32 at pod scale — widen before the psum when requested.
+        part = hi - lo
+        if wide:
+            part = part.astype(jnp.int64)
+        return jax.lax.psum(part, AXIS)
 
     return shard_map(
         program,
@@ -186,7 +192,8 @@ def _count_partitioned_impl(table, starts, sizes, kmers, lengths, *, mesh):
     )(table, starts, sizes, kmers, lengths)
 
 
-def count_kmers_partitioned(index: PartitionedIndex, kmers, lengths=None):
+def count_kmers_partitioned(index: PartitionedIndex, kmers, lengths=None,
+                            wide: bool | None = None):
     """Batched ``count_kmer`` over the partitioned index: per-shard backward
     search (independent, local) + one final psum. Equals the single-BWT
     count for every k-mer without '$' (k-mer hits never span reads)."""
@@ -201,9 +208,13 @@ def count_kmers_partitioned(index: PartitionedIndex, kmers, lengths=None):
     if not np.all(~act | ((kmers > 0) & (kmers < VC_LEN))):
         raise AssertionError("partitioned counting takes k-mers over 1..5 "
                              "($-queries are position-space; use the merged BWT)")
-    out = _count_partitioned_impl(
-        index.table, index.starts, index.sizes,
-        jnp.asarray(kmers), jnp.asarray(lengths),
-        mesh=index.mesh,
-    )
+    if wide is None:
+        # total collection size decides whether count sums can overflow i32
+        wide = bool(np.asarray(index.sizes).astype(np.int64).sum() >= 2**31)
+    with jax.enable_x64(wide):
+        out = _count_partitioned_impl(
+            index.table, index.starts, index.sizes,
+            jnp.asarray(kmers), jnp.asarray(lengths),
+            mesh=index.mesh, wide=wide,
+        )
     return np.asarray(out)

@@ -45,3 +45,17 @@ def test_partitioned_rejects_terminator_queries():
     pidx = build_partitioned(reads, lens)
     with pytest.raises(AssertionError):
         count_kmers_partitioned(pidx, np.zeros((1, 3), np.uint8))
+
+
+def test_partitioned_wide_counts():
+    """int64 count combine (for collections past 2^31 total symbols) must
+    agree with the int32 path on small data."""
+    reads_l = _collection(7, n=30)
+    reads, lens = encode_reads(reads_l)
+    pidx = build_partitioned(reads, lens)
+    kmers = np.stack([reads[i, 1:5] for i in range(12)]).astype(np.uint8)
+    kmers[kmers == 0] = 1
+    a = count_kmers_partitioned(pidx, kmers, wide=False)
+    b = count_kmers_partitioned(pidx, kmers, wide=True)
+    assert np.asarray(b).dtype == np.int64
+    assert np.array_equal(np.asarray(a), np.asarray(b))
