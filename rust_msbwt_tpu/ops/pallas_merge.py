@@ -50,8 +50,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 # chunk geometry: CS sublane rows of 128 lanes per grid step. Must be >= 16
-# so the per-row 8-row pair slice stays inside the 3*CS-row window.
-CS = 32
+# so the wide path's 8-row pair slice stays inside the 3*CS-row window.
+# Swept 16/32/64/128 on hardware: 64 wins with the 3-view fast path (bigger
+# pipeline blocks) — 32 was optimal for the old per-row reconstruction.
+CS = 64
 CHUNK = CS * 128
 _PAD = 7
 
