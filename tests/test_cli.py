@@ -103,3 +103,16 @@ def test_query_cli_missing_bwt():
     from rust_msbwt_tpu.cli.query import main as query_main
 
     assert query_main(["/nonexistent.npy", "ACGT"]) == 66
+
+
+def test_extract_cli(tmp_path, capsys):
+    from rust_msbwt_tpu.cli.extract import main as extract_main
+
+    out = tmp_path / "e.npy"
+    assert build_main(["-o", str(out), GOLDEN_FA]) == 0
+    assert extract_main([str(out)]) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    # two_string.fa holds ACGT and TGCA; sorted order is lexicographic
+    assert lines == [">read_0", "ACGT", ">read_1", "TGCA"]
+    assert extract_main([str(out), "1"]) == 0
+    assert capsys.readouterr().out == ">read_1\nTGCA\n"

@@ -1,0 +1,43 @@
+"""Read recovery: the BWT losslessly stores the collection; extraction by
+LF-walk must return the original reads (in lexicographic order for sorted
+builds)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from rust_msbwt_tpu.ops.bcr import build_msbwt, encode_reads, sort_reads
+from rust_msbwt_tpu.ops.extract import extract_reads
+from rust_msbwt_tpu.ops.rank import build_occ_index
+
+
+def test_extract_all_reads():
+    rng = np.random.default_rng(21)
+    reads_l = [rng.integers(1, 6, rng.integers(1, 30)).astype(np.uint8)
+               for _ in range(40)]
+    reads, lens = encode_reads(reads_l)
+    dec = build_msbwt(reads, lens)
+    index = build_occ_index(jnp.asarray(dec))
+    got = extract_reads(index, np.arange(40), n_strings=40)
+    sreads, slens = sort_reads(reads, lens)
+    for i in range(40):
+        assert np.array_equal(got[i], sreads[i, : slens[i]]), i
+
+
+def test_extract_subset_and_duplicates():
+    reads_l = [np.array([1, 2, 3], np.uint8)] * 5 + [np.array([5, 4], np.uint8)]
+    reads, lens = encode_reads(reads_l)
+    dec = build_msbwt(reads, lens)
+    index = build_occ_index(jnp.asarray(dec))
+    got = extract_reads(index, [0, 4, 5], n_strings=6)
+    assert np.array_equal(got[0], [1, 2, 3])
+    assert np.array_equal(got[1], [1, 2, 3])
+    assert np.array_equal(got[2], [5, 4])
+
+
+def test_extract_bad_ids():
+    reads, lens = encode_reads([np.array([1], np.uint8)])
+    dec = build_msbwt(reads, lens)
+    index = build_occ_index(jnp.asarray(dec))
+    with pytest.raises(ValueError):
+        extract_reads(index, [1], n_strings=1)
