@@ -54,6 +54,10 @@ def main(argv=None) -> int:
         help="The FASTQ/A file(s) to load into the BWT, gzip accepted",
     )
     args = parser.parse_args(argv)
+
+    from rust_msbwt_tpu.utils.jaxcache import enable_persistent_cache
+
+    enable_persistent_cache()
     sorted_strings = not args.unsorted
 
     logger.info("Input parameters (required):")

@@ -39,6 +39,10 @@ def main(argv=None) -> int:
     )
     args = parser.parse_args(argv)
 
+    from rust_msbwt_tpu.utils.jaxcache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     logger.info("Input parameters (required):")
     logger.info('\tInput BWT: "%s"', args.in_fn)
     if args.in_fn == "stdin":

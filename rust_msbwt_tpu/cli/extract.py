@@ -48,6 +48,10 @@ def main(argv=None) -> int:
     )
     args = parser.parse_args(argv)
 
+    from rust_msbwt_tpu.utils.jaxcache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     if not os.path.isfile(args.BWT):
         logger.error("Failed to open BWT file: %r", args.BWT)
         return EX_NOINPUT
