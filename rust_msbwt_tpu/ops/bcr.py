@@ -538,7 +538,11 @@ def _terminator_positions_impl(table, starts, n, reads, lengths, steps, t_total)
         new_pos = starts[sym] + rank_packed(table, sym, pos)
         return jnp.where(active, new_pos, pos)
 
-    return jax.lax.fori_loop(0, t_total, step, pos)
+    # t_total is the static worst case; the true bound is the largest
+    # per-read step count (a traced value — fori_loop lowers to while)
+    return jax.lax.fori_loop(
+        0, jnp.minimum(jnp.max(steps), t_total), step, pos
+    )
 
 
 def read_lengths_from_bwt(index: OccIndex, n_strings: int) -> np.ndarray:
