@@ -152,25 +152,53 @@ def _count_kmers_impl(bwt, occ, starts, n, kmers, lengths, cache=None, cache_k=0
     return (hi - lo).astype(jnp.int64) if n >= 2**31 else hi - lo
 
 
-@functools.partial(jax.jit, static_argnames=("n", "cache_k"))
+_CACHE_LEVEL_CHUNK = 6**8  # largest single-program level (compiler limit)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "size"))
+def _cache_level_impl(bwt, occ, starts, n, lo, hi, *, size):
+    """One cache level: extend every length-(l-1) range by each symbol."""
+    index = OccIndex(bwt=bwt, occ=occ, starts=starts, n=n)
+    sym = jnp.repeat(jnp.arange(VC_LEN, dtype=jnp.int32), size)
+    new_lo, new_hi = constrain_range(index, sym, jnp.tile(lo, VC_LEN),
+                                     jnp.tile(hi, VC_LEN))
+    return jnp.stack([new_lo, new_hi], axis=1)
+
+
 def build_kmer_cache(bwt, occ, starts, n, cache_k: int):
     """Ranges of every length-``cache_k`` string over the 6-symbol alphabet
     (``[VC_LEN**cache_k, 2]`` i32) — realizes the caching idea the reference
     sketches but never ships (ref: src/msbwt_core.rs:133-146). Built level by
-    level: ranges of length-l strings from length-(l-1) ranges via one batched
-    LF step, total work ~ VC_LEN**cache_k ranks."""
-    index = OccIndex(bwt=bwt, occ=occ, starts=starts, n=n)
+    level: ranges of length-l strings from length-(l-1) ranges via one
+    batched LF step, total work ~ VC_LEN**cache_k ranks. Levels past 6^8
+    entries run in fixed-size chunks (one giant program fails to compile).
+    """
     table = jnp.stack(
-        [jnp.zeros(1, jnp.int32), jnp.full(1, n, jnp.int32)], axis=1
+        [jnp.zeros(1, jnp.int32), jnp.full(1, int(n), jnp.int32)], axis=1
     )  # level 0: the empty string
     for level in range(1, cache_k + 1):
         size = VC_LEN ** (level - 1)
-        # code = sym * 6^(level-1) + rest  (sym = first/most-significant char)
-        sym = jnp.repeat(jnp.arange(VC_LEN, dtype=jnp.int32), size)
-        rest_lo = jnp.tile(table[:, 0], VC_LEN)
-        rest_hi = jnp.tile(table[:, 1], VC_LEN)
-        new_lo, new_hi = constrain_range(index, sym, rest_lo, rest_hi)
-        table = jnp.stack([new_lo, new_hi], axis=1)
+        if size <= _CACHE_LEVEL_CHUNK:
+            table = _cache_level_impl(
+                bwt, occ, starts, n, table[:, 0], table[:, 1], size=size
+            )
+        else:
+            # chunk the previous level; each chunk expands to 6 chunks of the
+            # new level interleaved by leading symbol: reorder afterwards.
+            # new code = sym * size + rest, so chunk c of `rest` produces the
+            # slice [sym*size + c*CH, sym*size + (c+1)*CH) for each sym.
+            ch = _CACHE_LEVEL_CHUNK
+            n_chunks = size // ch
+            parts = []
+            for c in range(n_chunks):
+                parts.append(_cache_level_impl(
+                    bwt, occ, starts, n,
+                    jax.lax.dynamic_slice_in_dim(table[:, 0], c * ch, ch),
+                    jax.lax.dynamic_slice_in_dim(table[:, 1], c * ch, ch),
+                    size=ch,
+                ).reshape(VC_LEN, ch, 2))
+            # parts[c][s] holds codes [s*size + c*ch, s*size + (c+1)*ch)
+            table = jnp.stack(parts, axis=1).reshape(VC_LEN * size, 2)
     return table
 
 
