@@ -160,4 +160,19 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--no-retry" in sys.argv:
+        main()
+        sys.exit(0)
+    try:
+        main()
+    except Exception as e:  # transient TPU-worker hiccups poison a process;
+        # one clean retry in a subprocess usually succeeds
+        import subprocess
+        import sys
+
+        log(f"bench attempt failed ({type(e).__name__}: {e}); retrying once")
+        r = subprocess.run(
+            [sys.executable, __file__, "--no-retry"],
+            env={**__import__("os").environ},
+        )
+        sys.exit(r.returncode)
