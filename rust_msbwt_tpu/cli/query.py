@@ -53,8 +53,11 @@ def main(argv=None) -> int:
     kmers_txt = list(args.KMER)
     if args.input is not None:
         try:
+            import contextlib
+
             fp = sys.stdin if args.input == "-" else open(args.input)
-            with fp if fp is not sys.stdin else fp:
+            cm = contextlib.nullcontext(fp) if fp is sys.stdin else fp
+            with cm:
                 kmers_txt += [ln.strip() for ln in fp if ln.strip()]
         except OSError as e:
             logger.error("Failed to read k-mers: %s", e)

@@ -23,7 +23,12 @@ from rust_msbwt_tpu.ops.alphabet import VC_LEN
 
 @dataclasses.dataclass(frozen=True)
 class BWTRange:
-    """Half-open range [l, h) in the BWT (ref: src/msbwt_core.rs:19-24)."""
+    """Half-open range [l, h) in the BWT (ref: src/msbwt_core.rs:19-24).
+
+    >>> rng = BWTRange(2, 7)
+    >>> rng.h - rng.l
+    5
+    """
 
     l: int = 0
     h: int = 0
@@ -48,7 +53,17 @@ class BWTBase:
         raise NotImplementedError
 
     def count_kmer(self, kmer) -> int:
-        """Occurrences of an integer-encoded k-mer (ref: src/msbwt_core.rs:124-161)."""
+        """Occurrences of an integer-encoded k-mer (ref: src/msbwt_core.rs:124-161).
+
+        >>> from rust_msbwt_tpu.models.dynamic import DynamicBWT
+        >>> bwt = DynamicBWT()
+        >>> bwt.insert_string("ACGT", True)
+        >>> bwt.insert_string("TGCA", True)
+        >>> bwt.count_kmer([1, 2, 3, 5])  # "ACGT"
+        1
+        >>> bwt.count_kmer([3, 2])  # "GC"
+        1
+        """
         kmer = np.asarray(kmer, dtype=np.uint8)
         assert np.all(kmer < VC_LEN), "k-mer symbols must be < 6"
         rng = BWTRange(0, self.get_total_size())

@@ -32,7 +32,24 @@ logger = logging.getLogger("rust_msbwt_tpu")
 
 
 class DynamicBWT(BWTBase):
-    """Construction-capable BWT (ref: src/dynamic_bwt.rs:24-41)."""
+    """Construction-capable BWT (ref: src/dynamic_bwt.rs:24-41).
+
+    Chronological insertion reproduces the reference's ``insert_string``
+    doctest (ref: src/dynamic_bwt.rs:295-302):
+
+    >>> bwt = DynamicBWT()
+    >>> bwt.insert_string("ACGNT", False)
+    >>> bwt.to_vec().tolist()
+    [5, 0, 1, 2, 3, 4]
+
+    Sorted insertion is input-order independent:
+
+    >>> bwt = DynamicBWT()
+    >>> bwt.insert_string("TGCA", True)
+    >>> bwt.insert_string("ACGT", True)
+    >>> bwt.get_symbol_counts().tolist()
+    [2, 2, 2, 2, 0, 2]
+    """
 
     def __init__(self):
         self._base = np.zeros(0, dtype=np.uint8)  # decoded, materialized BWT

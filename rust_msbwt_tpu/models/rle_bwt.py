@@ -69,7 +69,18 @@ def build_sampled_fm_index(
 
 
 class RleBWT(BWTBase):
-    """Static query engine over a compressed BWT (ref: src/rle_bwt.rs:14-24)."""
+    """Static query engine over a compressed BWT (ref: src/rle_bwt.rs:14-24).
+
+    >>> bwt = RleBWT()
+    >>> bwt.load_vector([13, 9, 10, 8, 11, 9, 13, 10, 11, 8])  # {ACGT, TGCA}
+    >>> bwt.get_total_size()
+    10
+    >>> bwt.count_kmer([1, 2, 3, 5])  # "ACGT"
+    1
+    >>> from rust_msbwt_tpu.models.core import BWTRange
+    >>> bwt.constrain_range(5, BWTRange(0, 10))  # rows prefixed "T"
+    BWTRange(l=8, h=10)
+    """
 
     def __init__(self, bin_power: int = 8):
         # default bin_power 8 (ref: src/rle_bwt.rs:28-29); configurable like
@@ -130,6 +141,10 @@ class RleBWT(BWTBase):
         self._decoded_padded = padded
         self._device_index = None  # built lazily on first batched query
         self._packed_index = None
+        # drop any k-mer cache from a previously loaded BWT — it holds
+        # ranges into the OLD index and would silently return wrong counts
+        self._kmer_cache = None
+        self._cache_k = 0
 
     @property
     def device_index(self) -> rank_ops.OccIndex:

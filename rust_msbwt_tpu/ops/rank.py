@@ -149,7 +149,9 @@ def _count_kmers_impl(bwt, occ, starts, n, kmers, lengths, cache=None, cache_k=0
         return lo, hi
 
     lo, hi = jax.lax.fori_loop(t_start, K, step, (lo, hi))
-    return (hi - lo).astype(jnp.int64) if n >= 2**31 else hi - lo
+    # n < 2^31 is guaranteed by build_occ_index; counts fit int32 exactly.
+    # (BWTs past 2^31 symbols go through parallel/sharded_index wide mode.)
+    return hi - lo
 
 
 _CACHE_LEVEL_CHUNK = 6**8  # largest single-program level (compiler limit)

@@ -81,14 +81,26 @@ def build_sharded_index(
     )
 
 
+def shard_local_pos(pos, shard_id, S):
+    """Clip global positions into this shard's local [0, S] coordinates.
+
+    ``pos`` may be int64 (wide mode); the shard base ``d*S`` is computed in
+    the position dtype — ``axis_index`` is int32 and ``d*S`` exceeds 2^31
+    exactly in the wide configs this path exists for (e.g. shard 3 of
+    S=805306368 must map pos=3*S+84080896 to 84080896, not wrap negative).
+    """
+    base_off = shard_id.astype(pos.dtype) * jnp.asarray(S, dtype=pos.dtype)
+    return jnp.clip(pos - base_off, 0, S).astype(jnp.int32)
+
+
 def _local_rank(bwt_loc, occ_loc, S, sym, pos, shard_id):
     """This shard's contribution to a global rank query (vectorized [B]).
 
     Row gathers + one-hot selects — see ops.rank.rank for the TPU rationale.
-    ``pos`` may be int64 (wide mode); the clip maps it into int32-safe
-    in-shard coordinates before any gather math.
+    ``pos`` may be int64 (wide mode); ``shard_local_pos`` maps it into
+    int32-safe in-shard coordinates before any gather math.
     """
-    loc = jnp.clip(pos - shard_id * S, 0, S).astype(jnp.int32)
+    loc = shard_local_pos(pos, shard_id, S)
     b = loc // BIN
     window = jnp.take(bwt_loc.reshape(S // BIN, BIN), b, axis=0)
     occ_row = jnp.take(occ_loc, b, axis=0)

@@ -18,7 +18,11 @@ import numpy as np
 
 logger = logging.getLogger("rust_msbwt_tpu")
 
-_SRC = os.path.join(os.path.dirname(__file__), "..", "..", "csrc", "msbwt_host.cpp")
+_CSRC = os.path.join(os.path.dirname(__file__), "..", "..", "csrc")
+_SRCS = [
+    os.path.join(_CSRC, "msbwt_host.cpp"),
+    os.path.join(_CSRC, "msbwt_baseline.cpp"),
+]
 _LIB_DIR = os.path.join(os.path.dirname(__file__), "..", "_native")
 _LIB = os.path.join(_LIB_DIR, "libmsbwt_host.so")
 _lock = threading.Lock()
@@ -28,13 +32,15 @@ _tried = False
 
 def _build() -> bool:
     os.makedirs(_LIB_DIR, exist_ok=True)
-    src = os.path.abspath(_SRC)
-    if not os.path.isfile(src):
+    srcs = [os.path.abspath(s) for s in _SRCS if os.path.isfile(s)]
+    if not srcs:
         return False
-    if os.path.isfile(_LIB) and os.path.getmtime(_LIB) >= os.path.getmtime(src):
+    if os.path.isfile(_LIB) and all(
+        os.path.getmtime(_LIB) >= os.path.getmtime(s) for s in srcs
+    ):
         return True
-    cmd = ["g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC", src,
-           "-o", _LIB, "-lz"]
+    cmd = ["g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
+           *srcs, "-o", _LIB, "-lz"]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         return True
@@ -84,6 +90,22 @@ def get_lib():
             ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_uint8),
+        ]
+        lib.msbwt_baseline_build.restype = ctypes.c_int64
+        lib.msbwt_baseline_build.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64, ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
+        ]
+        lib.msbwt_baseline_count_kmers.restype = ctypes.c_int
+        lib.msbwt_baseline_count_kmers.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64, ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int,
+        ]
+        lib.msbwt_baseline_index_only.restype = ctypes.c_int64
+        lib.msbwt_baseline_index_only.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int,
         ]
         _lib = lib
         return _lib
@@ -176,3 +198,60 @@ def reads_to_cols_native(reads: np.ndarray, lengths: np.ndarray,
         cols.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
     )
     return cols
+
+
+# --- native CPU baseline (csrc/msbwt_baseline.cpp): the reference's exact
+# sequential algorithms, measured for BENCH vs_baseline ------------------------
+
+
+def baseline_build_native(reads: list, sorted_insert: bool = True):
+    """Sequential reference-shape build (B+-tree sorted insertion) -> decoded
+    BWT, or None without a toolchain. ``reads``: list of int-encoded arrays."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    offsets = np.zeros(len(reads) + 1, dtype=np.int64)
+    for i, r in enumerate(reads):
+        offsets[i + 1] = offsets[i] + len(r)
+    seq = np.concatenate([np.asarray(r, dtype=np.uint8) for r in reads]) \
+        if reads else np.zeros(0, dtype=np.uint8)
+    seq = np.ascontiguousarray(seq, dtype=np.uint8)
+    out = np.empty(int(offsets[-1]) + len(reads), dtype=np.uint8)
+    n = lib.msbwt_baseline_build(
+        seq.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int64(len(reads)), ctypes.c_int(1 if sorted_insert else 0),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return out[:n]
+
+
+def baseline_count_kmers_native(rle_bytes: np.ndarray, kmers: np.ndarray,
+                                lengths=None, bin_power: int = 8,
+                                threads: int = 1):
+    """Reference query loop (occ-bin seed + linear RLE decode) over a batch,
+    or None without a toolchain. threads=1 is the reference-faithful config."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    rle_bytes = np.ascontiguousarray(rle_bytes, dtype=np.uint8)
+    kmers = np.ascontiguousarray(kmers, dtype=np.uint8)
+    if kmers.ndim == 1:
+        kmers = kmers[None, :]
+    B, K = kmers.shape
+    if lengths is None:
+        lengths = np.full(B, K, dtype=np.int32)
+    lengths = np.ascontiguousarray(lengths, dtype=np.int32)
+    out = np.empty(B, dtype=np.int64)
+    rc = lib.msbwt_baseline_count_kmers(
+        rle_bytes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(rle_bytes.size), ctypes.c_int(bin_power),
+        kmers.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int64(B), ctypes.c_int64(K),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int(threads),
+    )
+    if rc != 0:
+        raise RuntimeError(f"baseline count_kmers failed (code {rc})")
+    return out

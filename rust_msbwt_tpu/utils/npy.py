@@ -27,7 +27,18 @@ _HEADER_TAIL = b", ), }"
 
 def save_bwt_bytes(rle_bytes: np.ndarray, filename: str) -> None:
     """Save RLE bytes to the exact reference npy layout
-    (ref: src/bwt_converter.rs:102-130)."""
+    (ref: src/bwt_converter.rs:102-130).
+
+    The header is always exactly 96 bytes, so file size = 96 + body:
+
+    >>> import tempfile, os
+    >>> path = os.path.join(tempfile.mkdtemp(), "comp_msbwt.npy")
+    >>> save_bwt_bytes(np.array([13, 9], dtype=np.uint8), path)
+    >>> os.path.getsize(path)
+    98
+    >>> load_bwt_bytes(path).tolist()
+    [13, 9]
+    """
     rle_bytes = np.asarray(rle_bytes, dtype=np.uint8)
     header = _MAGIC + _HEADER_BODY + str(rle_bytes.size).encode() + _HEADER_TAIL
     if len(header) > 95:

@@ -19,7 +19,13 @@ import numpy as np
 
 
 def naive_bwt(inputs: list[str]) -> str:
-    """Ground-truth MSBWT by sorting doubled rotations (ref: src/bwt_util.rs:154-171)."""
+    """Ground-truth MSBWT by sorting doubled rotations (ref: src/bwt_util.rs:154-171).
+
+    >>> naive_bwt(["ACG"])
+    'G$AC'
+    >>> naive_bwt(["ACGT", "TGCA"])
+    'TAC$GATCG$'
+    """
     rotations: list[str] = []
     for s in inputs:
         dollar = s + "$"
@@ -67,7 +73,11 @@ def pairwise_merge_iter(interleave: np.ndarray, bwt0, bwt1, offsets: dict) -> np
 
 
 def pairwise_bwt_merge(bwt0, bwt1):
-    """Fixpoint Holt–McMillan merge of two BWTs (ref: src/bwt_util.rs:108-141)."""
+    """Fixpoint Holt–McMillan merge of two BWTs (ref: src/bwt_util.rs:108-141).
+
+    >>> "".join(pairwise_bwt_merge(naive_bwt(["ACGT"]), naive_bwt(["TGCA"])))
+    'TAC$GATCG$'
+    """
     bwt0 = list(bwt0)
     bwt1 = list(bwt1)
     total = len(bwt0) + len(bwt1)

@@ -46,7 +46,9 @@ def _force_sync(out):
     reliable fence is a (tiny) host transfer of a result element."""
     for leaf in jax.tree_util.tree_leaves(out):
         if hasattr(leaf, "shape"):
-            np.asarray(leaf).ravel()[:1]
+            # slice on DEVICE first so only one element crosses to host —
+            # np.asarray(leaf) would copy the whole leaf inside the timed region
+            np.asarray(leaf.ravel()[:1] if leaf.ndim else leaf)
             return
 
 

@@ -10,8 +10,7 @@ from rust_msbwt_tpu.cli.build import main as build_main
 from rust_msbwt_tpu.cli.convert import main as convert_main
 from rust_msbwt_tpu.utils.npy import load_bwt_bytes
 
-GOLDEN_FA = "/root/reference/test_data/two_string.fa"
-GOLDEN_NPY = "/root/reference/test_data/two_string.npy"
+from tests._data import GOLDEN_FA, GOLDEN_NPY  # noqa: E402
 
 
 def test_build_golden_byte_identity(tmp_path):

@@ -6,13 +6,20 @@ import doctest
 
 import pytest
 
+import rust_msbwt_tpu.models.core as core
+import rust_msbwt_tpu.models.dynamic as dynamic
+import rust_msbwt_tpu.models.rle_bwt as rle_bwt
 import rust_msbwt_tpu.ops.alphabet as alphabet
 import rust_msbwt_tpu.ops.rle as rle
+import rust_msbwt_tpu.utils.npy as npy
+import rust_msbwt_tpu.utils.oracle as oracle
 
 
-@pytest.mark.parametrize("mod", [alphabet, rle])
+@pytest.mark.parametrize(
+    "mod", [alphabet, rle, core, dynamic, rle_bwt, npy, oracle],
+    ids=lambda m: m.__name__,
+)
 def test_doctests(mod):
-    failures, tests = doctest.testmod(mod, raise_on_error=False).failed, \
-        doctest.testmod(mod).attempted
-    assert tests > 0, f"no doctests collected in {mod.__name__}"
-    assert failures == 0
+    result = doctest.testmod(mod, raise_on_error=False)
+    assert result.attempted > 0, f"no doctests collected in {mod.__name__}"
+    assert result.failed == 0

@@ -117,8 +117,9 @@ def test_load_and_add():
 def test_create_from_fastx_two_string():
     # ref: src/dynamic_bwt.rs:776-794
     truth = DynamicBWT()
-    truth.load_numpy_file("/root/reference/test_data/two_string.npy")
-    bwt = create_from_fastx(["/root/reference/test_data/two_string.fa"], True)
+    from tests._data import GOLDEN_FA, GOLDEN_NPY
+    truth.load_numpy_file(GOLDEN_NPY)
+    bwt = create_from_fastx([GOLDEN_FA], True)
     assert truth.to_vec().tolist() == bwt.to_vec().tolist()
     assert list(truth.iter()) == list(bwt.iter())
     assert truth.count_kmer(convert_stoi("$")) == 2

@@ -67,3 +67,28 @@ def test_model_level_cache(setup):
     # sanity vs oracle substring counts
     text = naive_bwt(data)
     assert all(c >= 1 for c in after.tolist())
+
+
+def test_cache_cleared_on_reload(setup, rng):
+    """Regression: loading a new BWT after enable_kmer_cache must NOT serve
+    ranges from the old BWT (round-1 bug: _standard_init kept _kmer_cache)."""
+    data, decoded, index = setup
+    bwt = RleBWT()
+    bwt.load_vector(bytes_from_runs(*runs_from_symbols(decoded)))
+    bwt.enable_kmer_cache(cache_k=4)
+    kmers = np.stack([convert_stoi(s[:10]) for s in data[:10]])
+    _ = bwt.count_kmers(kmers)  # exercise the cached path on BWT A
+
+    # now load a DIFFERENT BWT into the same object
+    data_b = ["".join(rng.choice(list("ACGT"), size=18)) for _ in range(25)]
+    from rust_msbwt_tpu.utils.oracle import naive_bwt as _nb
+    dec_b = convert_stoi(_nb(data_b))
+    bwt.load_vector(bytes_from_runs(*runs_from_symbols(np.asarray(dec_b, np.uint8))))
+    q = np.stack([convert_stoi(s[:8]) for s in data_b[:10]])
+    counts = bwt.count_kmers(q)
+    # every queried 8-mer is a substring of data_b, so counts must be >= 1
+    # AND must equal a fresh engine's counts on the same data
+    fresh = RleBWT()
+    fresh.load_vector(bytes_from_runs(*runs_from_symbols(np.asarray(dec_b, np.uint8))))
+    assert counts.tolist() == fresh.count_kmers(q).tolist()
+    assert all(c >= 1 for c in counts.tolist())

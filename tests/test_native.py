@@ -59,7 +59,8 @@ def test_parse_fastq_gzip_parity(lib, tmp_path):
 
 
 def test_parse_golden_two_string(lib):
-    got = native.parse_fastx_native("/root/reference/test_data/two_string.fa")
+    from tests._data import GOLDEN_FA
+    got = native.parse_fastx_native(GOLDEN_FA)
     assert [g.tolist() for g in got] == [[1, 2, 3, 5], [5, 3, 2, 1]]
 
 
@@ -101,3 +102,60 @@ def test_reads_to_cols_native_matches_python():
     # identity order
     got2 = reads_to_cols_native(reads, lengths, None)
     assert np.array_equal(got2, reads_to_cols(reads, lengths))
+
+
+# --- native CPU baseline (csrc/msbwt_baseline.cpp) ---------------------------
+
+
+def test_baseline_build_matches_oracle(rng):
+    from rust_msbwt_tpu.ops.alphabet import convert_itos, convert_stoi
+    from rust_msbwt_tpu.utils.native import baseline_build_native
+    from rust_msbwt_tpu.utils.oracle import naive_bwt
+
+    data = ["".join(rng.choice(list("ACGNT"), size=rng.integers(3, 28)))
+            for _ in range(120)]
+    data += data[:15]  # duplicates exercise the short-circuit dup branch
+    got = baseline_build_native([convert_stoi(s) for s in data],
+                                sorted_insert=True)
+    if got is None:
+        import pytest
+        pytest.skip("no native toolchain")
+    assert convert_itos(got) == naive_bwt(data)
+
+
+def test_baseline_build_chronological():
+    from rust_msbwt_tpu.ops.alphabet import convert_stoi
+    from rust_msbwt_tpu.utils.native import baseline_build_native
+
+    # the reference's insert_string doctest (ref: src/dynamic_bwt.rs:295-302)
+    got = baseline_build_native([convert_stoi("ACGNT")], sorted_insert=False)
+    if got is None:
+        import pytest
+        pytest.skip("no native toolchain")
+    assert got.tolist() == [5, 0, 1, 2, 3, 4]
+
+
+def test_baseline_queries_match_engine(rng):
+    import jax.numpy as jnp
+
+    from rust_msbwt_tpu.ops.alphabet import convert_stoi
+    from rust_msbwt_tpu.ops.rank import build_occ_index, count_kmers
+    from rust_msbwt_tpu.ops.rle import bytes_from_runs, runs_from_symbols
+    from rust_msbwt_tpu.utils.native import baseline_count_kmers_native
+    from rust_msbwt_tpu.utils.oracle import naive_bwt
+
+    data = ["".join(rng.choice(list("ACGT"), size=20)) for _ in range(80)]
+    dec = np.asarray(convert_stoi(naive_bwt(data)), np.uint8)
+    rle = bytes_from_runs(*runs_from_symbols(dec))
+    B, K = 300, 9
+    kmers = rng.integers(0, 6, size=(B, K)).astype(np.uint8)
+    lens = rng.integers(1, K + 1, B).astype(np.int32)
+    for i in range(B):
+        kmers[i, : K - lens[i]] = 0
+    want = count_kmers(build_occ_index(jnp.asarray(dec)), kmers, lens)
+    for bp in (2, 8):
+        got = baseline_count_kmers_native(rle, kmers, lens, bin_power=bp)
+        if got is None:
+            import pytest
+            pytest.skip("no native toolchain")
+        assert got.tolist() == want.tolist()

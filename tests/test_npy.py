@@ -6,7 +6,7 @@ import pytest
 from rust_msbwt_tpu.ops.rle import convert_to_vec
 from rust_msbwt_tpu.utils.npy import load_bwt_bytes, save_bwt_bytes, save_bwt_runs
 
-GOLDEN = "/root/reference/test_data/two_string.npy"
+from tests._data import GOLDEN_NPY as GOLDEN  # noqa: E402
 
 
 def test_load_golden_two_string():

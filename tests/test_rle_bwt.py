@@ -153,7 +153,8 @@ def test_count_kmer_rejects_bad_symbols():
 
 def test_golden_two_string_queries():
     bwt = RleBWT()
-    bwt.load_numpy_file("/root/reference/test_data/two_string.npy")
+    from tests._data import GOLDEN_NPY
+    bwt.load_numpy_file(GOLDEN_NPY)
     assert bwt.count_kmer(convert_stoi("ACGT")) == 1
     assert bwt.count_kmer(convert_stoi("TGCA")) == 1
     assert bwt.count_kmer(convert_stoi("$")) == 2

@@ -116,3 +116,19 @@ def test_sharded_query_wide_positions():
     wide = count_kmers_sharded(build_sharded_index(dec, force_wide=True), kmers)
     assert np.asarray(wide).dtype == np.int64
     assert np.array_equal(np.asarray(wide), np.asarray(want))
+
+
+def test_shard_local_pos_past_2e31():
+    """Regression (ADVICE r1): the shard base d*S must be computed in the
+    position dtype — int32 ``shard_id * S`` wraps negative for d*S >= 2^31
+    and silently corrupts wide-mode ranks."""
+    import jax
+    import jax.numpy as jnp
+    from rust_msbwt_tpu.parallel.sharded_index import shard_local_pos
+
+    S = 805_306_368  # 3*S = 2415919104 > 2^31
+    with jax.enable_x64():
+        pos = jnp.asarray([3 * S + 84_080_896, 0, 7 * S], dtype=jnp.int64)
+        loc = shard_local_pos(pos, jnp.asarray(3, jnp.int32), S)
+    assert loc.dtype == jnp.int32
+    assert loc.tolist() == [84_080_896, 0, S]
