@@ -121,7 +121,7 @@ def run_all() -> dict:
         @jax.jit
         def merge_loop(old, q, v, act):
             def body(i, cur):
-                new, _ = pm.merge_insert_phys(cur, q, v, act)
+                new, _tab, _ = pm.merge_insert_phys(cur, q, v, act)
                 return new
             return jax.lax.fori_loop(0, 10, body, old)[0, :1]
 

@@ -104,7 +104,7 @@ def main() -> int:
         old_log = np.full(n_cap, _PAD, np.int32)
         old_log[:n_old] = old
         phys = to_phys(jnp.asarray(old_log), n_cap)
-        new, _ = merge_insert_phys(
+        new, _tab, _ = merge_insert_phys(
             phys, jnp.asarray(q), jnp.asarray(v), jnp.ones(n_ins, bool)
         )
         got = np.asarray(from_phys(new, n_cap))

@@ -48,19 +48,6 @@ from rust_msbwt_tpu.ops.rank import rank as _rank
 _PAD = 7  # padding symbol for the BWT buffer (never matches 0..5)
 
 
-def _qword_weights() -> np.ndarray:
-    """[3, 128, 128] f32: plane-p weight matrix mapping bin position i to
-    qword lane 32 + 16p + i//8 with weight 2^(i%8) (bf16-exact: sums < 256)."""
-    w = np.zeros((3, 128, 128), np.float32)
-    for plane in range(3):
-        for i in range(128):
-            w[plane, i, 32 + 16 * plane + i // 8] = float(1 << (i % 8))
-    return w
-
-
-_QWORD_W = _qword_weights()
-
-
 # ---------------------------------------------------------------------------
 # host-facing API
 # ---------------------------------------------------------------------------
@@ -213,20 +200,30 @@ def build_msbwt(
     else:
         cols_on_device = bool(np.all(lengths == L))
         host_view = reads if cols_on_device else reads_to_cols(reads, lengths)
-    out = _bcr_insert(
-        base,
-        jnp.asarray(q1),
-        jnp.asarray(host_view),
-        jnp.asarray(lengths),
-        base_counts,
-        n0=n0,
-        n_cap=n_cap,
-        L=L,
-        n_strings_total=n_strings_total,
-        engine=engine,
-        interpret=interpret,
-        cols_on_device=cols_on_device,
-    )
+    if engine == "pallas" and n_cap >= _BUCKET_MIN_SYMBOLS and L >= 8:
+        # large build: bucketed capacity growth (see bucket_schedule)
+        out = _bcr_insert_bucketed(
+            base, jnp.asarray(q1), jnp.asarray(host_view),
+            jnp.asarray(lengths), base_counts,
+            n0=n0, n_cap=n_cap, L=L, N=N,
+            n_strings_total=n_strings_total, interpret=interpret,
+            cols_on_device=cols_on_device,
+        )
+    else:
+        out = _bcr_insert(
+            base,
+            jnp.asarray(q1),
+            jnp.asarray(host_view),
+            jnp.asarray(lengths),
+            base_counts,
+            n0=n0,
+            n_cap=n_cap,
+            L=L,
+            n_strings_total=n_strings_total,
+            engine=engine,
+            interpret=interpret,
+            cols_on_device=cols_on_device,
+        )
     return out if device_out else np.asarray(out)
 
 
@@ -348,6 +345,100 @@ def bcr_insert_core(base, q1, reads_cols, lengths, base_counts, *, n0, n_cap, L,
     return cur[:n_cap]
 
 
+def _pallas_rank_table(table, f, P):
+    """rank(f, P) off the fused packed rank table: ONE 128-lane row gather +
+    popcount over plane-match qwords.
+
+    The table ([rows, 128] i32: lanes 0..5 = occ strictly before the bin,
+    lane 32+16p+j = plane-p qword j) is emitted BY the merge kernel in the
+    same pass that writes the merged buffer (zero extra HBM read passes —
+    see ops.pallas_merge._merge_kernel). It is phys-row-indexed: logical bin
+    b lives at row b + CS (front guard). 512-byte and 24-byte row gathers
+    measure the same ~10-13 ns on this chip — the win is one gather instead
+    of two and no lane-padded layouts.
+    """
+    from rust_msbwt_tpu.ops.pallas_merge import CS as _CS
+
+    arange6 = jnp.arange(VC_LEN, dtype=jnp.int32)
+    b = P // BIN
+    row = jnp.take(table, b + _CS, axis=0)  # phys row of logical bin
+    occ_base = jnp.sum(
+        jnp.where(arange6[None, :] == f[:, None], row[:, :VC_LEN], 0),
+        axis=1, dtype=jnp.int32,
+    )
+    match = jnp.full((f.shape[0], 16), -1, jnp.int32)
+    for p in range(3):
+        words = row[:, 32 + 16 * p : 48 + 16 * p]
+        sp = -((f >> p) & 1)
+        match = match & ~(words ^ sp[:, None])
+    match = match & 0xFF
+    q8 = jnp.arange(16, dtype=jnp.int32)[None, :] * 8
+    sh = jnp.clip((P - b * BIN)[:, None] - q8, 0, 8)
+    pmask = (jnp.int32(1) << sh) - 1
+    local = jnp.sum(
+        jax.lax.population_count(match & pmask), axis=1, dtype=jnp.int32
+    )
+    return occ_base + local
+
+
+def _bump_counts(counts, v, active):
+    # compare+reduce instead of an N-element scatter-add
+    arange6 = jnp.arange(VC_LEN, dtype=jnp.int32)
+    return counts + jnp.sum(
+        (v.astype(jnp.int32)[:, None] == arange6[None, :]) & active[:, None],
+        axis=0,
+        dtype=jnp.int32,
+    )
+
+
+def _pallas_stage_step(j, carry, reads_cols, lengths, n_strings_total,
+                       interpret):
+    """One BCR stage on the phys-layout carry (shared by the monolithic core
+    and the bucketed driver — keep them in lockstep)."""
+    from rust_msbwt_tpu.ops import pallas_merge as pm
+
+    cur, table, P, counts, prev_v, n_valid = carry
+    active = j <= lengths + 1
+    v = jax.lax.dynamic_slice_in_dim(reads_cols, j, 1, axis=0)[0]
+    f = prev_v.astype(jnp.int32)
+    r = _pallas_rank_table(table, f, P)
+    cs = jnp.cumsum(counts, dtype=jnp.int32)
+    cvec = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32),
+         jnp.asarray(n_strings_total, jnp.int32) + (cs[:-1] - counts[0])]
+    )
+    q = cvec[f] + r
+    cur, table, m = pm.merge_insert_phys(
+        cur, q, v.astype(jnp.int32), active, interpret=interpret
+    )
+    n_valid = n_valid + m
+    P = jnp.where(active, q, P)
+    counts = _bump_counts(counts, v, active)
+    prev_v = jnp.where(active, v, prev_v)
+    return cur, table, P, counts, prev_v, n_valid
+
+
+def _pallas_stage1(base, q1, reads_cols, lengths, base_counts, *, n0, n_cap,
+                   interpret):
+    """Initialize the phys buffer and run stage 1 (terminator-slot inserts).
+    Returns the stage-loop carry."""
+    from rust_msbwt_tpu.ops import pallas_merge as pm
+
+    base_log = jnp.full(n_cap, _PAD, jnp.int32)
+    if n0:
+        base_log = jax.lax.dynamic_update_slice(
+            base_log, base[:n0].astype(jnp.int32), (0,)
+        )
+    active0 = lengths >= 0
+    cur = pm.to_phys(base_log, n_cap)
+    v1 = reads_cols[1]
+    cur, table, m = pm.merge_insert_phys(
+        cur, q1, v1.astype(jnp.int32), active0, interpret=interpret
+    )
+    counts = _bump_counts(base_counts, v1, active0)
+    return cur, table, q1, counts, v1, jnp.int32(n0) + m
+
+
 def bcr_insert_core_pallas(base, q1, reads_cols, lengths, base_counts, *, n0,
                            n_cap, L, n_strings_total, interpret=False):
     """BCR core with the Pallas merge-insert kernel as the stage rebuild.
@@ -360,109 +451,19 @@ def bcr_insert_core_pallas(base, q1, reads_cols, lengths, base_counts, *, n0,
     """
     from rust_msbwt_tpu.ops import pallas_merge as pm
 
-    N = reads_cols.shape[1]
-    NB = -(-n_cap // BIN)
-    csoff = pm.CS  # phys row holding logical position 0 (BIN == 128 lanes)
     assert BIN == 128
-
-    base_log = jnp.full(n_cap, _PAD, jnp.int32)
-    if n0:
-        base_log = jax.lax.dynamic_update_slice(
-            base_log, base[:n0].astype(jnp.int32), (0,)
-        )
-    arange6 = jnp.arange(VC_LEN, dtype=jnp.int32)
-    wq = jnp.asarray(_QWORD_W, jnp.bfloat16)
-
-    def rebuild_table(cur_phys):
-        """Per-bin packed rank rows, [NB, 128] i32: lanes 0..5 hold occ
-        strictly before the bin; lane 32+16p+j holds plane-p qword j (8
-        positions). Built with three MXU matmuls so every intermediate
-        keeps a full 128-lane minor dim — arrays with small minor dims get
-        lane-padded 4-21x on TPU, which is what made the naive bit-plane
-        build and the separate [NB+1, 6] occ table slow. The in-stage rank
-        then needs ONE 128-lane row gather (512-byte and 24-byte row
-        gathers measure the same ~10-13 ns on this chip — the win is one
-        gather instead of two and no padded layouts)."""
-        window = jax.lax.slice(cur_phys, (csoff, 0), (csoff + NB, 128))
-        per_bin = jnp.sum(
-            window[:, :, None] == arange6[None, None, :], axis=1, dtype=jnp.int32
-        )
-        occ = jnp.cumsum(per_bin, axis=0, dtype=jnp.int32) - per_bin
-        acc = jnp.zeros((NB, 128), jnp.float32)
-        for p in range(3):
-            bits = ((window >> p) & 1).astype(jnp.bfloat16)
-            acc = acc + jnp.dot(bits, wq[p], preferred_element_type=jnp.float32)
-        return acc.astype(jnp.int32).at[:, :VC_LEN].set(occ)
-
-    def rank_table(table, f, P):
-        """rank(f, P) with one row gather + popcount over plane-match qwords."""
-        b = P // BIN
-        row = jnp.take(table, b, axis=0)
-        occ_base = jnp.sum(
-            jnp.where(arange6[None, :] == f[:, None], row[:, :VC_LEN], 0),
-            axis=1, dtype=jnp.int32,
-        )
-        match = jnp.full((f.shape[0], 16), -1, jnp.int32)
-        for p in range(3):
-            words = row[:, 32 + 16 * p : 48 + 16 * p]
-            sp = -((f >> p) & 1)
-            match = match & ~(words ^ sp[:, None])
-        match = match & 0xFF
-        q8 = jnp.arange(16, dtype=jnp.int32)[None, :] * 8
-        sh = jnp.clip((P - b * BIN)[:, None] - q8, 0, 8)
-        pmask = (jnp.int32(1) << sh) - 1
-        local = jnp.sum(
-            jax.lax.population_count(match & pmask), axis=1, dtype=jnp.int32
-        )
-        return occ_base + local
-
-    def insert(cur_phys, n_valid, q, v, active):
-        new_phys, m = pm.merge_insert_phys(
-            cur_phys, q, v.astype(jnp.int32), active, interpret=interpret
-        )
-        return new_phys, n_valid + m
-
-    active0 = lengths >= 0
-
-    def bump_counts(counts, v, active):
-        # compare+reduce instead of an N-element scatter-add
-        return counts + jnp.sum(
-            (v.astype(jnp.int32)[:, None] == arange6[None, :]) & active[:, None],
-            axis=0,
-            dtype=jnp.int32,
-        )
-
-    cur = pm.to_phys(base_log, n_cap)
-    v1 = reads_cols[1]
-    cur, n_valid = insert(cur, jnp.int32(n0), q1, v1, active0)
-    table = rebuild_table(cur)
-    counts = bump_counts(base_counts, v1, active0)
-    P = q1
-    prev_v = v1
-
-    def stage(j, carry):
-        cur, table, P, counts, prev_v, n_valid = carry
-        active = j <= lengths + 1
-        v = jax.lax.dynamic_slice_in_dim(reads_cols, j, 1, axis=0)[0]
-        f = prev_v.astype(jnp.int32)
-        r = rank_table(table, f, P)
-        cs = jnp.cumsum(counts, dtype=jnp.int32)
-        cvec = jnp.concatenate(
-            [jnp.zeros(1, jnp.int32),
-             jnp.int32(n_strings_total) + (cs[:-1] - counts[0])]
-        )
-        q = cvec[f] + r
-        cur, n_valid = insert(cur, n_valid, q, v, active)
-        table = rebuild_table(cur)
-        P = jnp.where(active, q, P)
-        counts = bump_counts(counts, v, active)
-        prev_v = jnp.where(active, v, prev_v)
-        return cur, table, P, counts, prev_v, n_valid
-
-    cur, table, P, counts, prev_v, n_valid = jax.lax.fori_loop(
-        2, L + 2, stage, (cur, table, P, counts, prev_v, n_valid)
+    carry = _pallas_stage1(
+        base, q1, reads_cols, lengths, base_counts,
+        n0=n0, n_cap=n_cap, interpret=interpret,
     )
-    return pm.from_phys(cur, n_cap).astype(jnp.uint8)
+    carry = jax.lax.fori_loop(
+        2, L + 2,
+        lambda j, c: _pallas_stage_step(
+            j, c, reads_cols, lengths, n_strings_total, interpret
+        ),
+        carry,
+    )
+    return pm.from_phys(carry[0], n_cap).astype(jnp.uint8)
 
 
 @functools.partial(
@@ -500,6 +501,119 @@ def default_engine() -> str:
         return "pallas" if jax.default_backend() in ("tpu", "axon") else "xla"
     except Exception:
         return "xla"
+
+
+# ---------------------------------------------------------------------------
+# bucketed capacity growth: early BCR stages run on a nearly-empty buffer, so
+# streaming the FULL final capacity through every stage wastes ~2x HBM
+# traffic. Large builds run the stage loop in capacity buckets that double as
+# the buffer fills — each bucket is one jitted program over a fixed phys
+# shape; the carry is zero-padded up between buckets (one copy, ~1 stage's
+# cost per bucket). ~log2(L) programs total.
+# ---------------------------------------------------------------------------
+
+_BUCKET_MIN_SYMBOLS = 2_000_000  # below this a single program wins
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n0", "n_cap", "interpret", "cols_on_device")
+)
+def _bcr_stage1_jit(base, q1, reads_cols, lengths, base_counts, *, n0, n_cap,
+                    interpret, cols_on_device):
+    if cols_on_device:
+        n_rows = reads_cols.shape[0]
+        zero = jnp.zeros((1, n_rows), jnp.uint8)
+        reads_cols = jnp.concatenate(
+            [zero, jnp.flip(reads_cols, axis=1).T, zero], axis=0
+        )
+    carry = _pallas_stage1(
+        base, q1, reads_cols, lengths, base_counts,
+        n0=n0, n_cap=n_cap, interpret=interpret,
+    )
+    return reads_cols, carry
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _bcr_block_jit(cur, table, P, counts, prev_v, n_valid, reads_cols,
+                   lengths, n_strings_total, ja, jb, *, interpret):
+    # ja/jb are traced scalars: every bucket at a given phys shape reuses one
+    # compiled program (fori_loop lowers to while_loop)
+    return jax.lax.fori_loop(
+        ja, jb,
+        lambda j, c: _pallas_stage_step(
+            j, c, reads_cols, lengths, n_strings_total, interpret
+        ),
+        (cur, table, P, counts, prev_v, n_valid),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("new_rows",))
+def _grow_carry(cur, table, *, new_rows):
+    pad = jnp.full((new_rows, 128), _PAD, jnp.int32)
+    cur2 = jax.lax.dynamic_update_slice(pad, cur, (0, 0))
+    # grown table rows are never gathered before the next stage rewrites the
+    # whole table (P < old capacity), so zero-fill is fine
+    tab2 = jax.lax.dynamic_update_slice(
+        jnp.zeros((new_rows, 128), jnp.int32), table, (0, 0)
+    )
+    return cur2, tab2
+
+
+@functools.partial(jax.jit, static_argnames=("n_cap",))
+def _from_phys_jit(phys, *, n_cap):
+    from rust_msbwt_tpu.ops import pallas_merge as pm
+
+    return pm.from_phys(phys, n_cap).astype(jnp.uint8)
+
+
+def bucket_schedule(n0: int, N: int, L: int, n_cap: int,
+                    chunk: int) -> list[tuple[int, int, int]]:
+    """Stage buckets ``(ja, jb, cap)``: run stages [ja, jb) at capacity
+    ``cap`` (chunk-aligned, >= n0 + (jb-1)*N — stage j ends with at most
+    n0 + j*N symbols)."""
+    def aligned(x):
+        return -(-x // chunk) * chunk
+
+    full_cap = aligned(n_cap)
+    buckets = []
+    ja = 2
+    while ja < L + 2:
+        need = n0 + ja * N
+        cap = min(aligned(2 * need), full_cap)
+        if cap == full_cap:
+            jb = L + 2
+        else:
+            jb = max(min((cap - n0) // N + 1, L + 2), ja + 1)
+        buckets.append((ja, jb, cap))
+        ja = jb
+    return buckets
+
+
+def _bcr_insert_bucketed(base, q1, reads_cols, lengths, base_counts, *, n0,
+                         n_cap, L, N, n_strings_total, interpret,
+                         cols_on_device):
+    from rust_msbwt_tpu.ops import pallas_merge as pm
+
+    buckets = bucket_schedule(n0, N, L, n_cap, pm.CHUNK)
+    cap0 = buckets[0][2]  # covers stage 1 too (needs n0 + N <= cap0)
+    reads_cols, carry = _bcr_stage1_jit(
+        base, q1, reads_cols, lengths, base_counts,
+        n0=n0, n_cap=cap0, interpret=interpret, cols_on_device=cols_on_device,
+    )
+    nst = jnp.asarray(n_strings_total, jnp.int32)
+    cur_cap = cap0
+    for ja, jb, cap in buckets:
+        if cap != cur_cap:
+            cur, table = _grow_carry(
+                carry[0], carry[1], new_rows=pm.phys_rows(cap)
+            )
+            carry = (cur, table) + tuple(carry[2:])
+            cur_cap = cap
+        carry = _bcr_block_jit(
+            *carry, reads_cols, lengths, nst,
+            jnp.int32(ja), jnp.int32(jb), interpret=interpret,
+        )
+    return _from_phys_jit(carry[0], n_cap=n_cap)
 
 
 @functools.partial(jax.jit, static_argnames=("n", "t_total"))

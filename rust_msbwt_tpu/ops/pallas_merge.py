@@ -58,13 +58,21 @@ CHUNK = CS * 128
 _PAD = 7
 
 
-def _merge_kernel(ca_ref, old_ref, ti_ref, out_ref, buf, nbuf, sems):
+def _merge_kernel(ca_ref, old_ref, ti_ref, wtab_ref, out_ref, tab_ref, buf,
+                  nbuf, occ_acc, sems):
     """One output chunk. Grid dim 0 walks phys chunks. Chunk 0 (front guard)
     and the last two chunks (back guard; the third back-guard chunk still
     runs the DMA path and lands on old-buffer PAD) are written as PAD without
     DMA, which keeps every window read in-bounds. Window DMAs are
     double-buffered: chunk c issues chunk c+1's DMA before waiting on its
     own, using the scalar-prefetched per-chunk insertion offsets ``ca_ref``.
+
+    The kernel ALSO emits the packed rank-table rows for the merged chunk
+    (``tab_ref``): lanes 0..5 hold per-symbol occurrences strictly before
+    each 128-wide bin, lanes 32+16p+j hold plane-p qword j. TPU grids run
+    sequentially, so the global occ prefix is carried across chunks in the
+    ``occ_acc`` scratch — the table costs zero extra HBM read passes (the
+    merged tile is already in VMEM).
     """
     c = pl.program_id(0)
     nc = pl.num_programs(0)
@@ -171,6 +179,50 @@ def _merge_kernel(ca_ref, old_ref, ti_ref, out_ref, buf, nbuf, sems):
             shifted = jnp.concatenate(rows, axis=0)
             out_ref[:] = jnp.where(ins > 0, ins - 1, shifted)
 
+    # --- fused rank-table emission (uniform over ALL chunks, guards
+    # included: a PAD tile contributes zero counts and all-ones planes) ---
+    @pl.when(c == 0)
+    def _():
+        occ_acc[:, :] = jnp.zeros((8, 128), jnp.int32)
+
+    mt = out_ref[:]  # the merged tile, already resident in VMEM
+    lane = jax.lax.broadcasted_iota(jnp.int32, (CS, 128), 1)
+    # per-bin (row) symbol histogram, value of lane s = count of symbol s
+    cnt = jnp.zeros((CS, 128), jnp.float32)
+    for s in range(6):
+        row_cnt = jnp.sum((mt == s).astype(jnp.float32), axis=1, keepdims=True)
+        cnt = cnt + jnp.where(lane == s, row_cnt, 0.0)
+    # within-chunk inclusive row prefix via a small f32 MXU matmul (exact:
+    # sums <= CS*128 << 2^24); wtab plane 3 holds the lower-triangular T
+    tri = wtab_ref[3, :CS, :CS]
+    incl = jnp.dot(tri, cnt, preferred_element_type=jnp.float32)
+    occ_rows = (incl - cnt).astype(jnp.int32) + occ_acc[0:1, :]
+    occ_acc[0:1, :] = occ_acc[0:1, :] + incl[CS - 1 : CS, :].astype(jnp.int32)
+    # plane-p qwords via bf16 MXU matmuls (byte sums <= 255: bf16-exact)
+    qw = jnp.zeros((CS, 128), jnp.float32)
+    for p in range(3):
+        bits = ((mt >> p) & 1).astype(jnp.bfloat16)
+        qw = qw + jnp.dot(
+            bits, wtab_ref[p].astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+    tab_ref[:] = jnp.where(lane < 6, occ_rows, qw.astype(jnp.int32))
+
+
+def _wtab_np() -> np.ndarray:
+    """[4, 128, 128] f32 kernel weights: planes 0..2 = the qword packing
+    matrices (position i -> lane 32+16p+i//8, weight 2^(i%8)); plane 3 =
+    the lower-triangular within-chunk row-prefix matrix (top-left CSxCS)."""
+    w = np.zeros((4, 128, 128), np.float32)
+    for plane in range(3):
+        for i in range(128):
+            w[plane, i, 32 + 16 * plane + i // 8] = float(1 << (i % 8))
+    w[3, :CS, :CS] = np.tril(np.ones((CS, CS), np.float32))
+    return w
+
+
+_WTAB_NP = _wtab_np()
+
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _merge_call(chunk_a, old_phys, ti_phys, *, interpret=False):
@@ -182,22 +234,29 @@ def _merge_call(chunk_a, old_phys, ti_phys, *, interpret=False):
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # old buffer, DMA'd manually
             pl.BlockSpec((CS, 128), lambda c, ca: (c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, 128, 128), lambda c, ca: (0, 0, 0),
+                         memory_space=pltpu.VMEM),  # constant weights
         ],
-        out_specs=pl.BlockSpec(
-            (CS, 128), lambda c, ca: (c, 0), memory_space=pltpu.VMEM
-        ),
+        out_specs=[
+            pl.BlockSpec((CS, 128), lambda c, ca: (c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((CS, 128), lambda c, ca: (c, 0), memory_space=pltpu.VMEM),
+        ],
         scratch_shapes=[
             pltpu.VMEM((2, 3 * CS, 128), jnp.int32),
             pltpu.VMEM((2, CS + 8, 128), jnp.int32),
+            pltpu.VMEM((8, 128), jnp.int32),  # running global occ prefix
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(
         _merge_kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((rows, 128), jnp.int32),
+        out_shape=[
+            jax.ShapeDtypeStruct((rows, 128), jnp.int32),
+            jax.ShapeDtypeStruct((rows, 128), jnp.int32),
+        ],
         interpret=interpret,
-    )(chunk_a, old_phys, ti_phys)
+    )(chunk_a, old_phys, ti_phys, jnp.asarray(_WTAB_NP))
 
 
 # ---------------------------------------------------------------------------
@@ -249,7 +308,9 @@ def merge_insert_phys(old_phys, q, v, active, *, interpret=False):
 
     ``q``: [N] i32 distinct new-coordinate slots (logical coords);
     ``v``: [N] i32 values in 0..5; ``active``: [N] bool mask.
-    Returns (new_phys, m) with m = number of active insertions.
+    Returns (new_phys, table_phys, m): the merged buffer, the fused packed
+    rank table (phys-row-indexed: logical bin b -> row b + CS), and
+    m = number of active insertions.
     """
     rows = old_phys.shape[0]
     total = rows * 128
@@ -270,4 +331,5 @@ def merge_insert_phys(old_phys, q, v, active, *, interpret=False):
     # one packed stream instead of two: (tmap << 3) | insval — insval < 8,
     # tmap <= N < 2^28. Saves 8n bytes of HBM traffic per stage.
     ti = (tmap << 3) | ins
-    return _merge_call(chunk_a, old_phys, ti, interpret=interpret), m
+    new_phys, table = _merge_call(chunk_a, old_phys, ti, interpret=interpret)
+    return new_phys, table, m

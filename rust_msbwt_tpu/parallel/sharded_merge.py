@@ -21,13 +21,21 @@ The result equals the single-device merge tree (``ops.merge.kway_merge``)
 and therefore the sorted single-device build — verified by tests on the
 8-virtual-device CPU mesh.
 
-Scaling note: steps 1 and 3 move O(n) bytes per device per round here
-(an ``all_gather`` of the source BWTs and a ``psum`` of the routed
-interleave). On a real pod both reduce to O(n/D) contiguous-slice exchanges
-(each device consumes D *contiguous* runs of each source and produces D
-contiguous runs of output), i.e. a ragged ``all_to_all``; this file keeps the
-dense collective formulation, which is exact, mesh-shaped, and the form XLA
-can lower today — swapping the transport does not change the math.
+Two transports implement the same math:
+
+* ``dense`` — steps 1 and 3 as full-length ``all_gather``/``psum`` (O(n)
+  bytes per device per round). Simple, and the only form XLA:CPU can run.
+* ``ragged`` — the scalable pod transport: within any merged block, the
+  elements drawn from source j form ONE contiguous run of source-j
+  positions, and after the counting sort each block's elements destined for
+  block i form ONE contiguous run of the tgt-sorted stream. Both steps are
+  therefore single-chunk-per-peer exchanges = ``jax.lax.ragged_all_to_all``:
+  per-device traffic per round is exactly its n/D elements (plus two [D, D]
+  / [D, 6] ``all_gather``s of counts), and per-device memory is O(n/D) —
+  no device ever materializes the other shards. XLA:CPU has no
+  ragged-all-to-all kernel, so on CPU meshes the SAME program runs with an
+  exact psum-based simulation of the primitive (``_exchange_sim``), which is
+  how the 8-virtual-device tests pin ragged == dense == single-device.
 """
 
 from __future__ import annotations
@@ -134,10 +142,194 @@ def _sharded_merge_impl(parts, lens, *, n, blk, d, bmax, mesh):
     )(parts, lens)
 
 
-def sharded_hm_merge(parts: list[np.ndarray], mesh: Mesh | None = None) -> np.ndarray:
+# ---------------------------------------------------------------------------
+# ragged transport
+# ---------------------------------------------------------------------------
+
+
+def _exchange_native(operand, out, in_off, send_sz, out_off, recv_sz):
+    """The real thing: one XLA ragged-all-to-all (TPU backends).
+    ``out_off`` is sender-side (where my chunk lands in each peer's output),
+    matching the primitive's convention."""
+    return jax.lax.ragged_all_to_all(
+        operand, out, in_off, send_sz, out_off, recv_sz, axis_name=AXIS
+    )
+
+
+def _exchange_sim(operand, out, in_off, send_sz, out_off, recv_sz, *, d):
+    """Exact simulation of ``ragged_all_to_all`` with dense collectives, for
+    CPU meshes (XLA:CPU has no ragged-all-to-all kernel). Requires what our
+    callers guarantee: per-peer input chunks are consecutive ascending
+    (``in_off`` = exclusive prefix of ``send_sz``) and received chunks fill a
+    prefix of ``out``. Communication here is O(n) — the SIMULATION is dense,
+    the program semantics are the ragged ones."""
+    out_len = out.shape[0]
+    B = operand.shape[0]
+    k = jnp.arange(B, dtype=jnp.int32)
+    # destination peer of element k: chunks are consecutive ascending
+    peer = jnp.sum((k[:, None] >= (in_off + send_sz)[None, :]), axis=1,
+                   dtype=jnp.int32)
+    peer_c = jnp.clip(peer, 0, d - 1)
+    within = k - in_off[peer_c]
+    valid = (peer < d) & (within < send_sz[peer_c])
+    gpos = peer_c * out_len + out_off[peer_c] + within
+    big = d * out_len
+    routed = (
+        jnp.zeros(d * out_len, operand.dtype)
+        .at[jnp.where(valid, gpos, big)]
+        .set(operand, mode="drop")
+    )
+    routed = jax.lax.psum(routed, AXIS)
+    me = jax.lax.axis_index(AXIS)
+    mine = jax.lax.dynamic_slice(routed, (me * out_len,), (out_len,))
+    total_recv = jnp.sum(recv_sz)
+    filled = jnp.arange(out_len, dtype=jnp.int32) < total_recv
+    return jnp.where(filled, mine, out)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n", "blk", "d", "bmax", "mesh", "native")
+)
+def _sharded_merge_ragged_impl(parts, lens, *, n, blk, d, bmax, mesh, native):
+    """Ragged-transport D-way merge: per-device memory O(n/D); per-round
+    traffic = one ragged exchange of the device's own elements (plus [D, D]
+    and [D, 6] count gathers). Math identical to ``_sharded_merge_impl``."""
+    offsets = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(lens, dtype=jnp.int32)]
+    )
+    big = jnp.int32(d * blk)
+
+    def exchange(operand, out, in_off, send_sz, out_off, recv_sz):
+        if native:
+            return _exchange_native(operand, out, in_off, send_sz, out_off,
+                                    recv_sz)
+        return _exchange_sim(operand, out, in_off, send_sz, out_off, recv_sz,
+                             d=d)
+
+    def program(parts_blk, lens_rep):
+        my_src = parts_blk[0].astype(jnp.int32)  # [bmax] — ONLY my source
+        me = jax.lax.axis_index(AXIS)
+        pos0 = me * blk
+        gpos = pos0 + jnp.arange(blk, dtype=jnp.int32)
+        valid = gpos < n
+        srcs = jnp.arange(d, dtype=jnp.int32)
+
+        init = jnp.sum(
+            (gpos[:, None] >= offsets[None, 1:]).astype(jnp.int32), axis=1
+        ).astype(jnp.uint8)
+        init = jnp.where(valid, init, jnp.uint8(_PAD_SRC))
+
+        def count_matrix(inter):
+            onehot = inter[:, None] == srcs[None, :].astype(jnp.uint8)
+            local = jnp.sum(onehot, axis=0, dtype=jnp.int32)      # [D srcs]
+            C = jax.lax.all_gather(local, AXIS)                   # [blk, src]
+            return onehot, C
+
+        def reconstruct(inter):
+            """Merged symbols of my block. Within a block the elements from
+            source j are one contiguous run of source-j positions, so source
+            j ships block i exactly one chunk: [colpref(C)[i, j], C[i, j])."""
+            onehot, C = count_matrix(inter)
+            col_pref = jnp.cumsum(C, axis=0, dtype=jnp.int32) - C
+            in_off = col_pref[:, me]      # my chunks (as source me) per block
+            send_sz = C[:, me]
+            row_pref = jnp.cumsum(C, axis=1, dtype=jnp.int32) - C
+            out_off = row_pref[:, me]     # where my chunk lands per block
+            recv_sz = C[me]               # my block's counts per source
+            grouped = exchange(
+                my_src, jnp.full(blk, _PAD_SYM, jnp.int32),
+                in_off, send_sz, out_off, recv_sz,
+            )
+            # un-group: element p of my block is the r_loc[p]-th element
+            # drawn from source inter[p]
+            r_loc = jnp.cumsum(onehot, axis=0, dtype=jnp.int32) - onehot
+            grp_start = row_pref[me]      # [D]
+            src_pos = jnp.sum(
+                jnp.where(onehot, grp_start[None, :] + r_loc, 0), axis=1
+            )
+            syms = jnp.take(grouped, jnp.clip(src_pos, 0, blk - 1))
+            return jnp.where(
+                inter == _PAD_SRC, jnp.int32(_PAD_SYM), syms
+            ).astype(jnp.uint8)
+
+        def refine(inter):
+            syms = reconstruct(inter)
+            onehot = syms[:, None] == jnp.arange(VC_LEN, dtype=jnp.uint8)[None, :]
+            local_counts = jnp.sum(onehot, axis=0, dtype=jnp.int32)
+            all_counts = jax.lax.all_gather(local_counts, AXIS)   # [D, 6]
+            totals = jnp.sum(all_counts, axis=0)
+            cvec = jnp.concatenate(
+                [jnp.zeros(1, jnp.int32), jnp.cumsum(totals, dtype=jnp.int32)[:-1]]
+            )
+            dev_start = jnp.cumsum(all_counts, axis=0, dtype=jnp.int32) - all_counts
+            my_start = dev_start[me]
+            r_loc = jnp.cumsum(onehot, axis=0, dtype=jnp.int32) - onehot
+            tgt = jnp.sum(
+                jnp.where(onehot, cvec[None, :] + my_start[None, :] + r_loc, 0),
+                axis=1,
+            )
+            tgt = jnp.where(syms == _PAD_SYM, big, tgt)
+            # tgt-sort my elements: the run destined for each output block is
+            # then ONE contiguous chunk of the sorted stream
+            perm = jnp.argsort(tgt)
+            tgt_s = jnp.take(tgt, perm)
+            val_s = jnp.take(inter.astype(jnp.int32), perm)
+            dest = jnp.clip(tgt_s // blk, 0, d - 1)
+            send_sz = jnp.sum(
+                (dest[:, None] == srcs[None, :]) & (tgt_s < big)[:, None],
+                axis=0, dtype=jnp.int32,
+            )
+            in_off = jnp.cumsum(send_sz, dtype=jnp.int32) - send_sz
+            S = jax.lax.all_gather(send_sz, AXIS)  # [sender, dest]
+            # sender me's chunk to dest i lands after senders j < me
+            out_off = jnp.take(
+                jnp.cumsum(S, axis=0, dtype=jnp.int32) - S, me, axis=0
+            )
+            recv_sz = S[:, me]
+            tgt_r = exchange(tgt_s, jnp.full(blk, big, jnp.int32),
+                             in_off, send_sz, out_off, recv_sz)
+            val_r = exchange(val_s, jnp.full(blk, jnp.int32(_PAD_SRC)),
+                             in_off, send_sz, out_off, recv_sz)
+            placed = (
+                jnp.full(blk, jnp.int32(_PAD_SRC))
+                .at[jnp.where(tgt_r < big, tgt_r - pos0, blk)]
+                .set(val_r, mode="drop")
+            )
+            return jnp.where(valid, placed, jnp.int32(_PAD_SRC)).astype(jnp.uint8)
+
+        def cond(carry):
+            cur, nxt = carry
+            changed = jnp.any(cur != nxt)
+            return jax.lax.psum(changed.astype(jnp.int32), AXIS) > 0
+
+        def body(carry):
+            _, nxt = carry
+            return nxt, refine(nxt)
+
+        _, final = jax.lax.while_loop(cond, body, (init, refine(init)))
+        merged = reconstruct(final)
+        return merged[None, :]
+
+    return shard_map(
+        program,
+        mesh=mesh,
+        in_specs=(P(AXIS, None), P()),
+        out_specs=P(AXIS, None),
+    )(parts, lens)
+
+
+def sharded_hm_merge(
+    parts: list[np.ndarray], mesh: Mesh | None = None,
+    transport: str = "auto",
+) -> np.ndarray:
     """Merge D partial BWTs with the interleave sharded across the mesh.
 
-    Result equals ``ops.merge.kway_merge(parts)``.
+    Result equals ``ops.merge.kway_merge(parts)``. ``transport``:
+
+    * ``"dense"``  — all_gather/psum formulation (O(n)/device/round)
+    * ``"ragged"`` — ragged-all-to-all formulation (O(n/D)/device/round on
+      TPU; exact dense *simulation* of the primitive on CPU meshes)
+    * ``"auto"``   — ragged on TPU backends, dense on CPU
     """
     if mesh is None:
         mesh = default_mesh()
@@ -156,8 +348,20 @@ def sharded_hm_merge(parts: list[np.ndarray], mesh: Mesh | None = None) -> np.nd
     for j, p in enumerate(parts):
         packed[j, : p.size] = p
     blk = -(-n // d)
-    out = _sharded_merge_impl(
-        jnp.asarray(packed), jnp.asarray(lens),
-        n=n, blk=blk, d=d, bmax=bmax, mesh=mesh,
-    )
+    backend = jax.default_backend()
+    if transport == "auto":
+        transport = "ragged" if backend in ("tpu", "axon") else "dense"
+    if transport == "dense":
+        out = _sharded_merge_impl(
+            jnp.asarray(packed), jnp.asarray(lens),
+            n=n, blk=blk, d=d, bmax=bmax, mesh=mesh,
+        )
+    elif transport == "ragged":
+        out = _sharded_merge_ragged_impl(
+            jnp.asarray(packed), jnp.asarray(lens),
+            n=n, blk=blk, d=d, bmax=bmax, mesh=mesh,
+            native=backend in ("tpu", "axon"),
+        )
+    else:
+        raise ValueError(f"unknown transport {transport!r}")
     return np.asarray(out).reshape(-1)[:n]

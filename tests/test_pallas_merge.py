@@ -44,7 +44,7 @@ def _run(n_old, n_ins, n_cap, seed=0, frac_active=1.0):
     old_log = np.full(n_cap, _PAD, np.int32)
     old_log[:n_old] = old
     phys = to_phys(jnp.asarray(old_log), n_cap)
-    new_phys, mm = merge_insert_phys(
+    new_phys, _tab, mm = merge_insert_phys(
         phys, jnp.asarray(q), jnp.asarray(v), jnp.asarray(active), interpret=True
     )
     got = np.asarray(from_phys(new_phys, n_cap))
@@ -85,7 +85,7 @@ def test_merge_insert_clustered_full_chunk():
     old_log = np.full(n_cap, _PAD, np.int32)
     old_log[:n_old] = old
     phys = to_phys(jnp.asarray(old_log), n_cap)
-    new_phys, _ = merge_insert_phys(
+    new_phys, _tab, _ = merge_insert_phys(
         phys, jnp.asarray(q), jnp.asarray(v), jnp.ones(n_ins, bool), interpret=True
     )
     got = np.asarray(from_phys(new_phys, n_cap))
@@ -125,3 +125,40 @@ def test_bcr_pallas_extend_matches_xla():
     b = build_msbwt(new_reads, new_lens, True, base=base, base_string_count=6,
                     engine="pallas")
     assert np.array_equal(a, b)
+
+
+def test_fused_table_matches_reference_layout():
+    """The kernel's fused rank table must equal an independently computed
+    occ-prefix + qword packing of the merged buffer."""
+    from rust_msbwt_tpu.ops.pallas_merge import CS
+
+    r = np.random.default_rng(11)
+    n_old, n_ins = 900, 200
+    old = r.integers(0, 6, n_old).astype(np.int32)
+    q = r.choice(n_old + n_ins, size=n_ins, replace=False).astype(np.int32)
+    v = r.integers(0, 6, n_ins).astype(np.int32)
+    n_cap = n_old + n_ins + 37  # ragged tail exercises PAD rows
+    old_log = np.full(n_cap, _PAD, np.int32)
+    old_log[:n_old] = old
+    phys = to_phys(jnp.asarray(old_log), n_cap)
+    new_phys, tab, _ = merge_insert_phys(
+        phys, jnp.asarray(q), jnp.asarray(v), jnp.ones(n_ins, bool),
+        interpret=True,
+    )
+    merged_phys = np.asarray(new_phys)  # [rows, 128], includes guards
+    tab = np.asarray(tab)
+    rows = merged_phys.shape[0]
+    # reference: occ lanes = per-symbol counts strictly before each phys row
+    flat = merged_phys.reshape(-1)
+    for row in range(CS, rows - 2 * CS):  # logical region
+        before = flat[: row * 128]
+        for s in range(6):
+            assert tab[row, s] == np.count_nonzero(before == s), (row, s)
+        # qwords: plane p, word j packs bits of positions 8j..8j+7
+        win = merged_phys[row]
+        for p in range(3):
+            for j in range(16):
+                want = sum(
+                    ((int(win[8 * j + i]) >> p) & 1) << i for i in range(8)
+                )
+                assert tab[row, 32 + 16 * p + j] == want, (row, p, j)

@@ -132,3 +132,54 @@ def test_shard_local_pos_past_2e31():
         loc = shard_local_pos(pos, jnp.asarray(3, jnp.int32), S)
     assert loc.dtype == jnp.int32
     assert loc.tolist() == [84_080_896, 0, S]
+
+
+def test_ragged_transport_matches_dense_and_tree():
+    """The ragged-all-to-all merge formulation (simulated primitive on CPU)
+    must equal the dense transport and the single-device merge tree."""
+    from rust_msbwt_tpu.ops.merge import kway_merge
+    from rust_msbwt_tpu.parallel.sharded_merge import sharded_hm_merge
+
+    rng = np.random.default_rng(41)
+    for trial in range(3):
+        groups = []
+        for _ in range(int(rng.integers(2, 9))):
+            reads_l = [rng.integers(1, 6, rng.integers(2, 25)).astype(np.uint8)
+                       for _ in range(int(rng.integers(1, 12)))]
+            reads, lens = encode_reads(reads_l)
+            groups.append(build_msbwt(reads, lens))
+        want = kway_merge(groups)
+        dense = sharded_hm_merge(groups, transport="dense")
+        ragged = sharded_hm_merge(groups, transport="ragged")
+        assert np.array_equal(dense, want)
+        assert np.array_equal(ragged, want)
+
+
+def test_ragged_transport_volume_is_one_over_d():
+    """Per-round per-device ragged traffic == the device's own elements:
+    in reconstruct every source ships exactly its len_j elements
+    (sum_i C[i,j] == len_j) and in refine every block ships exactly its
+    valid elements — O(n/D), not O(n)."""
+    from rust_msbwt_tpu.parallel.sharded_merge import _PAD_SRC
+
+    rng = np.random.default_rng(77)
+    lens = rng.integers(5, 40, 8)
+    n = int(lens.sum())
+    offsets = np.concatenate([[0], np.cumsum(lens)])
+    blk = -(-n // 8)
+    # a random (valid) interleave assignment: position p -> source j
+    inter = np.full(8 * blk, _PAD_SRC, np.int64)
+    src_of = np.concatenate([np.full(l, j) for j, l in enumerate(lens)])
+    rng.shuffle(src_of)
+    inter[:n] = src_of
+    C = np.zeros((8, 8), np.int64)  # C[block, source]
+    for i in range(8):
+        blk_i = inter[i * blk : (i + 1) * blk]
+        for j in range(8):
+            C[i, j] = np.count_nonzero(blk_i == j)
+    # reconstruct: source j sends sum_i C[i, j] elements == its length
+    assert C.sum(axis=0).tolist() == lens.tolist()
+    # refine: block i sends its valid element count
+    assert C.sum(axis=1).tolist() == [
+        min(blk, max(0, n - i * blk)) for i in range(8)
+    ]
