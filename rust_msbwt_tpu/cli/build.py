@@ -50,6 +50,12 @@ def main(argv=None) -> int:
         "memory; 0 = one batch per file)",
     )
     parser.add_argument(
+        "--distributed", action="store_true",
+        help="Multi-host build: jax.distributed init, per-process record "
+        "stripe ingestion, distributed D-way merge; run one process per "
+        "host (see parallel/multihost.py for the launch recipe)",
+    )
+    parser.add_argument(
         "FASTX", nargs="+",
         help="The FASTQ/A file(s) to load into the BWT, gzip accepted",
     )
@@ -89,7 +95,21 @@ def main(argv=None) -> int:
     from rust_msbwt_tpu.utils.npy import save_bwt_runs
 
     try:
-        if args.batch_size > 0:
+        if args.distributed:
+            from rust_msbwt_tpu.models.dynamic import DynamicBWT
+            from rust_msbwt_tpu.parallel.multihost import (
+                build_from_fastx_distributed,
+            )
+
+            decoded, is_zero = build_from_fastx_distributed(
+                args.FASTX, sorted_strings
+            )
+            if not is_zero:  # only process 0 writes output
+                logger.info("Non-zero process finished; skipping output.")
+                return 0
+            bwt = DynamicBWT()
+            bwt._base = decoded
+        elif args.batch_size > 0:
             from rust_msbwt_tpu.models.dynamic import create_from_fastx_streaming
 
             bwt = create_from_fastx_streaming(

@@ -25,13 +25,16 @@ import jax.numpy as jnp
 import numpy as np
 
 
-@functools.partial(jax.jit, static_argnames=("n0", "n1"))
-def _merge_impl(bwt0, bwt1, n0, n1):
+@functools.partial(jax.jit, static_argnames=("n0", "n1", "wide"))
+def _merge_impl(bwt0, bwt1, n0, n1, wide=False):
     n = n0 + n1
-    idx = jnp.arange(n, dtype=jnp.int32)
+    # positions go int64 ("wide") once the merged size can pass 2^31 —
+    # the reference's counts are u64 throughout (ref: src/msbwt_core.rs:124)
+    pos_dtype = jnp.int64 if wide else jnp.int32
+    idx = jnp.arange(n, dtype=pos_dtype)
 
     def gather_syms(interleave):
-        c0 = jnp.cumsum(interleave.astype(jnp.int32)) - interleave.astype(jnp.int32)
+        c0 = jnp.cumsum(interleave.astype(pos_dtype)) - interleave.astype(pos_dtype)
         pos0 = jnp.clip(c0, 0, n0 - 1)
         pos1 = jnp.clip(idx - c0, 0, n1 - 1)
         return jnp.where(interleave, bwt0[pos0], bwt1[pos1])
@@ -55,43 +58,58 @@ def _merge_impl(bwt0, bwt1, n0, n1):
     return gather_syms(final), final
 
 
-def pairwise_bwt_merge(bwt0, bwt1) -> np.ndarray:
+def _wide(n0: int, n1: int, force_wide: bool) -> bool:
+    return force_wide or (n0 + n1) >= 2**31
+
+
+def pairwise_bwt_merge(bwt0, bwt1, force_wide: bool = False) -> np.ndarray:
     """Merge two decoded BWTs into the BWT of the union (device fixpoint).
 
     Result-equivalent to the reference's ``pairwise_bwt_merge``
-    (ref: src/bwt_util.rs:108-141)."""
+    (ref: src/bwt_util.rs:108-141). Positions switch to int64 automatically
+    past 2^31 merged symbols; ``force_wide`` exercises that path on small
+    data for tests."""
     bwt0 = np.asarray(bwt0, dtype=np.uint8)
     bwt1 = np.asarray(bwt1, dtype=np.uint8)
     if bwt0.size == 0:
         return bwt1.copy()
     if bwt1.size == 0:
         return bwt0.copy()
-    merged, _ = _merge_impl(
-        jnp.asarray(bwt0), jnp.asarray(bwt1), int(bwt0.size), int(bwt1.size)
-    )
-    return np.asarray(merged)
+    wide = _wide(bwt0.size, bwt1.size, force_wide)
+    with jax.enable_x64(wide):
+        merged, _ = _merge_impl(
+            jnp.asarray(bwt0), jnp.asarray(bwt1), int(bwt0.size),
+            int(bwt1.size), wide=wide,
+        )
+        return np.asarray(merged)
 
 
-def merge_interleave(bwt0, bwt1) -> np.ndarray:
+def merge_interleave(bwt0, bwt1, force_wide: bool = False) -> np.ndarray:
     """The converged interleave vector (True == element from bwt0)."""
     bwt0 = np.asarray(bwt0, dtype=np.uint8)
     bwt1 = np.asarray(bwt1, dtype=np.uint8)
-    _, interleave = _merge_impl(
-        jnp.asarray(bwt0), jnp.asarray(bwt1), int(bwt0.size), int(bwt1.size)
-    )
-    return np.asarray(interleave)
+    wide = _wide(bwt0.size, bwt1.size, force_wide)
+    with jax.enable_x64(wide):
+        _, interleave = _merge_impl(
+            jnp.asarray(bwt0), jnp.asarray(bwt1), int(bwt0.size),
+            int(bwt1.size), wide=wide,
+        )
+        return np.asarray(interleave)
 
 
-def kway_merge(bwts: list[np.ndarray]) -> np.ndarray:
+def kway_merge(bwts: list[np.ndarray], force_wide: bool = False) -> np.ndarray:
     """Balanced binary tree of pairwise merges — the reduction used to
-    combine per-shard partial BWTs after a data-parallel build."""
+    combine per-shard partial BWTs after a data-parallel build. Each merge
+    independently goes wide once its own size requires it."""
     parts = [np.asarray(b, dtype=np.uint8) for b in bwts if np.asarray(b).size]
     if not parts:
         return np.zeros(0, dtype=np.uint8)
     while len(parts) > 1:
         nxt = []
         for i in range(0, len(parts) - 1, 2):
-            nxt.append(pairwise_bwt_merge(parts[i], parts[i + 1]))
+            nxt.append(
+                pairwise_bwt_merge(parts[i], parts[i + 1], force_wide=force_wide)
+            )
         if len(parts) % 2:
             nxt.append(parts[-1])
         parts = nxt

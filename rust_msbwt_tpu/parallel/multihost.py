@@ -1,0 +1,156 @@
+"""Multi-host (multi-process) entry point — the distributed-communication
+layer the reference does not have (SURVEY.md §1: "README itself states the
+builder is not parallelized", ref: README.md:42; this is the net-new layer).
+
+Design: one JAX process per host. ``jax.distributed.initialize`` wires the
+processes into one runtime; every collective in ``parallel/`` (psum,
+all_gather, ragged_all_to_all) then spans the GLOBAL device set — within a
+slice they ride ICI, across hosts DCN — with no further code changes,
+because all sharded programs here are written against a ``Mesh`` over
+``jax.devices()`` (which is global once distributed init ran).
+
+Work split:
+
+* ingestion — each process parses its contiguous stripe of the input files
+  (``process_read_slice``); nothing is exchanged on host.
+* build — every device (local to each process) builds the BWT of its read
+  chunk with the BCR core; the Holt–McMillan merge is order-independent and
+  exact on rotation order, so NO global read sort is needed across hosts —
+  the distributed D-way merge (``parallel.sharded_merge``, ragged
+  transport) produces the canonical MSBWT whatever the read distribution.
+* output — process 0 assembles the merged shards
+  (``multihost_utils.process_allgather``) and writes the npy.
+
+Launch recipe (one process per host):
+
+  # TPU pods: jax.distributed.initialize() auto-detects the topology
+  msbwt2-build --distributed -o out.npy reads.fq.gz
+
+  # manual / CPU clusters: point every process at the coordinator
+  MSBWT_COORDINATOR=host0:8476 MSBWT_NUM_PROCS=2 MSBWT_PROC_ID=0 \
+      msbwt2-build --distributed -o out.npy reads.fq.gz   # on host0
+  MSBWT_COORDINATOR=host0:8476 MSBWT_NUM_PROCS=2 MSBWT_PROC_ID=1 \
+      msbwt2-build --distributed -o out.npy reads.fq.gz   # on host1
+
+Single-process invocations (tests, the driver's virtual-mesh dryrun) skip
+``jax.distributed`` and run the same code path over the local devices.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+
+import numpy as np
+
+logger = logging.getLogger("rust_msbwt_tpu")
+
+
+def init_distributed() -> bool:
+    """Initialize ``jax.distributed`` from the environment.
+
+    Returns True if a multi-process runtime was initialized. Priority:
+    explicit ``MSBWT_COORDINATOR``/``MSBWT_NUM_PROCS``/``MSBWT_PROC_ID``
+    env vars; else ``jax.distributed.initialize()`` auto-detection when a
+    cluster environment (TPU pod slice, SLURM, ...) is present; else
+    single-process no-op.
+    """
+    import jax
+
+    coord = os.environ.get("MSBWT_COORDINATOR")
+    if coord:
+        nproc = int(os.environ["MSBWT_NUM_PROCS"])
+        pid = int(os.environ["MSBWT_PROC_ID"])
+        jax.distributed.initialize(
+            coordinator_address=coord, num_processes=nproc, process_id=pid
+        )
+        logger.info("jax.distributed: process %d/%d via %s", pid, nproc, coord)
+        return True
+    try:  # auto-detection (TPU pod metadata, SLURM, ...)
+        from jax._src.clusters import ClusterEnv
+
+        if ClusterEnv.auto_detect_unset_distributed_params()[0] is not None:
+            jax.distributed.initialize()
+            logger.info(
+                "jax.distributed: auto-initialized process %d/%d",
+                jax.process_index(), jax.process_count(),
+            )
+            return True
+    except Exception:
+        pass
+    return False
+
+
+def process_read_slice(n_records: int, process_id: int | None = None,
+                       num_processes: int | None = None) -> slice:
+    """Contiguous stripe of record indices owned by this process."""
+    import jax
+
+    pid = jax.process_index() if process_id is None else process_id
+    nproc = jax.process_count() if num_processes is None else num_processes
+    per = -(-n_records // nproc)
+    return slice(pid * per, min((pid + 1) * per, n_records))
+
+
+def build_msbwt_multihost(reads: np.ndarray, lengths: np.ndarray,
+                          mesh=None) -> np.ndarray:
+    """MSBWT of this process's read stripe + every other process's stripe.
+
+    ``reads``/``lengths`` are THIS process's stripe (already sliced with
+    :func:`process_read_slice`). Per-device BCR builds run data-parallel
+    over the local devices of every process; the cross-host combine is the
+    distributed D-way H-M merge over the global mesh (ragged transport on
+    TPU). Returns the full decoded BWT on every process (gathered)."""
+    import jax
+
+    from rust_msbwt_tpu.parallel.mesh import default_mesh
+    from rust_msbwt_tpu.parallel.sharded_build import build_msbwt_sharded
+
+    if mesh is None:
+        mesh = default_mesh()  # global devices once distributed init ran
+    if jax.process_count() == 1:
+        return build_msbwt_sharded(reads, lengths, mesh=mesh, merge="sharded")
+    # Multi-process: each process contributes its stripe. The sharded build
+    # sorts and chunks ITS reads over the global mesh axis positions owned
+    # by its addressable devices; the merge is global.
+    from jax.experimental import multihost_utils
+
+    out = build_msbwt_sharded(reads, lengths, mesh=mesh, merge="sharded")
+    return np.asarray(multihost_utils.process_allgather(out))
+
+
+def build_from_fastx_distributed(filenames, sorted_strings: bool = True):
+    """The ``msbwt2-build --distributed`` flow: distributed init, per-process
+    ingestion of a record stripe, global build+merge, result on process 0.
+
+    Returns ``(decoded_bwt, is_process_zero)``; non-zero processes get the
+    BWT too but should skip writing output.
+    """
+    import jax
+
+    from rust_msbwt_tpu.ops.alphabet import convert_stoi
+    from rust_msbwt_tpu.ops.bcr import encode_reads
+    from rust_msbwt_tpu.utils.fastx import parse_fastx
+    from rust_msbwt_tpu.utils.native import parse_fastx_native
+
+    init_distributed()
+    if not sorted_strings:
+        raise ValueError(
+            "--distributed implies lexicographic (sorted) construction: the "
+            "distributed merge canonicalizes order (chronological order is "
+            "not preserved across processes)"
+        )
+    seqs: list = []
+    for filename in filenames:
+        parsed = parse_fastx_native(filename)
+        if parsed is None:
+            parsed = [convert_stoi(s) for s in parse_fastx(filename)]
+        seqs.extend(parsed)
+    sl = process_read_slice(len(seqs))
+    logger.info(
+        "process %d/%d: records [%d, %d) of %d",
+        jax.process_index(), jax.process_count(), sl.start, sl.stop, len(seqs),
+    )
+    reads, lengths = encode_reads(seqs[sl])
+    decoded = build_msbwt_multihost(reads, lengths)
+    return decoded, jax.process_index() == 0

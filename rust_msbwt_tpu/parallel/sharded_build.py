@@ -70,13 +70,17 @@ BIG_PAD = 1024  # safely out-of-bounds offset for padding rows' q1
 
 def build_msbwt_sharded(
     reads: np.ndarray, lengths: np.ndarray, mesh: Mesh | None = None,
-    merge: str = "tree",
+    merge: str = "tree", force_wide: bool = False,
 ) -> np.ndarray:
     """Sorted MSBWT of a read collection, built data-parallel over the mesh.
 
     ``merge="tree"`` combines per-shard BWTs with the single-device binary
     merge tree; ``merge="sharded"`` runs the distributed D-way H-M merge
     (``parallel.sharded_merge``) with the interleave sharded across the mesh.
+    Each per-shard build stays int32 (< 2^31 symbols per shard); the merge
+    goes int64 ("wide") automatically once the TOTAL passes 2^31 — this is
+    the composition that takes chr21-scale (> 2^31 symbol) collections.
+    ``force_wide`` exercises the wide merge on small data for tests.
     """
     if mesh is None:
         mesh = default_mesh()
@@ -109,5 +113,5 @@ def build_msbwt_sharded(
     if merge == "sharded":
         from rust_msbwt_tpu.parallel.sharded_merge import sharded_hm_merge
 
-        return sharded_hm_merge(parts, mesh=mesh)
-    return kway_merge(parts)
+        return sharded_hm_merge(parts, mesh=mesh, force_wide=force_wide)
+    return kway_merge(parts, force_wide=force_wide)

@@ -55,21 +55,26 @@ _PAD_SRC = 255  # interleave tail padding — must not collide with a source id
 _PAD_SYM = 7    # symbol-stream padding (symbols are 0..5)
 
 
-@functools.partial(jax.jit, static_argnames=("n", "blk", "d", "bmax", "mesh"))
-def _sharded_merge_impl(parts, lens, *, n, blk, d, bmax, mesh):
+@functools.partial(
+    jax.jit, static_argnames=("n", "blk", "d", "bmax", "mesh", "wide")
+)
+def _sharded_merge_impl(parts, lens, *, n, blk, d, bmax, mesh, wide=False):
     """parts: [D, Bmax] u8 per-source BWTs; lens: [D] i32 true lengths.
-    Returns merged symbols sharded as [D, blk] u8 (PAD past n)."""
+    Returns merged symbols sharded as [D, blk] u8 (PAD past n). ``wide``
+    switches global positions to int64 (merged size past 2^31; each SOURCE
+    must still fit int32, which D-way sharded construction guarantees)."""
+    pos_dtype = jnp.int64 if wide else jnp.int32
     offsets = jnp.concatenate(
-        [jnp.zeros(1, jnp.int32), jnp.cumsum(lens, dtype=jnp.int32)]
+        [jnp.zeros(1, pos_dtype), jnp.cumsum(lens.astype(pos_dtype))]
     )
 
     def program(parts_blk, lens_rep):
         # parts arrive sharded by source id; gather all sources locally
-        # (see module docstring's scaling note)
+        # (the ragged transport below avoids this O(n) gather)
         parts_all = jax.lax.all_gather(parts_blk, AXIS, tiled=True)  # [D, Bmax]
         me = jax.lax.axis_index(AXIS)
-        pos0 = me * blk
-        gpos = pos0 + jnp.arange(blk, dtype=jnp.int32)
+        pos0 = me.astype(pos_dtype) * blk
+        gpos = pos0 + jnp.arange(blk, dtype=pos_dtype)
         valid = gpos < n
         srcs = jnp.arange(d, dtype=jnp.int32)
 
@@ -90,7 +95,8 @@ def _sharded_merge_impl(parts, lens, *, n, blk, d, bmax, mesh):
             src_pos = jnp.sum(jnp.where(onehot, my_start[None, :] + r_loc, 0), axis=1)
             flat = parts_all.reshape(-1)
             g = jnp.clip(
-                inter.astype(jnp.int32) * bmax + src_pos, 0, d * bmax - 1
+                inter.astype(pos_dtype) * bmax + src_pos.astype(pos_dtype),
+                0, d * bmax - 1,
             )
             syms = jnp.take(flat, g)
             return jnp.where(inter == _PAD_SRC, jnp.uint8(_PAD_SYM), syms)
@@ -102,16 +108,23 @@ def _sharded_merge_impl(parts, lens, *, n, blk, d, bmax, mesh):
             all_counts = jax.lax.all_gather(local_counts, AXIS)          # [D, 6]
             totals = jnp.sum(all_counts, axis=0)
             cvec = jnp.concatenate(
-                [jnp.zeros(1, jnp.int32), jnp.cumsum(totals, dtype=jnp.int32)[:-1]]
+                [jnp.zeros(1, pos_dtype),
+                 jnp.cumsum(totals.astype(pos_dtype))[:-1]]
             )
             dev_start = jnp.cumsum(all_counts, axis=0, dtype=jnp.int32) - all_counts
             my_start = dev_start[me]                                     # [6]
             r_loc = jnp.cumsum(onehot, axis=0, dtype=jnp.int32) - onehot
             tgt = jnp.sum(
-                jnp.where(onehot, cvec[None, :] + my_start[None, :] + r_loc, 0),
+                jnp.where(
+                    onehot,
+                    cvec[None, :] + (my_start[None, :] + r_loc).astype(pos_dtype),
+                    0,
+                ),
                 axis=1,
             )
-            tgt = jnp.where(syms == _PAD_SYM, jnp.int32(d * blk), tgt)  # dropped
+            tgt = jnp.where(
+                syms == _PAD_SYM, jnp.asarray(d * blk, pos_dtype), tgt
+            )  # dropped
             routed = (
                 jnp.zeros(d * blk, jnp.int32)
                 .at[tgt]
@@ -188,16 +201,19 @@ def _exchange_sim(operand, out, in_off, send_sz, out_off, recv_sz, *, d):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n", "blk", "d", "bmax", "mesh", "native")
+    jax.jit, static_argnames=("n", "blk", "d", "bmax", "mesh", "native", "wide")
 )
-def _sharded_merge_ragged_impl(parts, lens, *, n, blk, d, bmax, mesh, native):
+def _sharded_merge_ragged_impl(parts, lens, *, n, blk, d, bmax, mesh, native,
+                               wide=False):
     """Ragged-transport D-way merge: per-device memory O(n/D); per-round
     traffic = one ragged exchange of the device's own elements (plus [D, D]
-    and [D, 6] count gathers). Math identical to ``_sharded_merge_impl``."""
+    and [D, 6] count gathers). Math identical to ``_sharded_merge_impl``.
+    ``wide``: global positions int64 (per-device blocks stay int32)."""
+    pos_dtype = jnp.int64 if wide else jnp.int32
     offsets = jnp.concatenate(
-        [jnp.zeros(1, jnp.int32), jnp.cumsum(lens, dtype=jnp.int32)]
+        [jnp.zeros(1, pos_dtype), jnp.cumsum(lens.astype(pos_dtype))]
     )
-    big = jnp.int32(d * blk)
+    big = jnp.asarray(d * blk, pos_dtype)
 
     def exchange(operand, out, in_off, send_sz, out_off, recv_sz):
         if native:
@@ -209,8 +225,8 @@ def _sharded_merge_ragged_impl(parts, lens, *, n, blk, d, bmax, mesh, native):
     def program(parts_blk, lens_rep):
         my_src = parts_blk[0].astype(jnp.int32)  # [bmax] — ONLY my source
         me = jax.lax.axis_index(AXIS)
-        pos0 = me * blk
-        gpos = pos0 + jnp.arange(blk, dtype=jnp.int32)
+        pos0 = me.astype(pos_dtype) * blk
+        gpos = pos0 + jnp.arange(blk, dtype=pos_dtype)
         valid = gpos < n
         srcs = jnp.arange(d, dtype=jnp.int32)
 
@@ -259,13 +275,18 @@ def _sharded_merge_ragged_impl(parts, lens, *, n, blk, d, bmax, mesh, native):
             all_counts = jax.lax.all_gather(local_counts, AXIS)   # [D, 6]
             totals = jnp.sum(all_counts, axis=0)
             cvec = jnp.concatenate(
-                [jnp.zeros(1, jnp.int32), jnp.cumsum(totals, dtype=jnp.int32)[:-1]]
+                [jnp.zeros(1, pos_dtype),
+                 jnp.cumsum(totals.astype(pos_dtype))[:-1]]
             )
             dev_start = jnp.cumsum(all_counts, axis=0, dtype=jnp.int32) - all_counts
             my_start = dev_start[me]
             r_loc = jnp.cumsum(onehot, axis=0, dtype=jnp.int32) - onehot
             tgt = jnp.sum(
-                jnp.where(onehot, cvec[None, :] + my_start[None, :] + r_loc, 0),
+                jnp.where(
+                    onehot,
+                    cvec[None, :] + (my_start[None, :] + r_loc).astype(pos_dtype),
+                    0,
+                ),
                 axis=1,
             )
             tgt = jnp.where(syms == _PAD_SYM, big, tgt)
@@ -274,7 +295,7 @@ def _sharded_merge_ragged_impl(parts, lens, *, n, blk, d, bmax, mesh, native):
             perm = jnp.argsort(tgt)
             tgt_s = jnp.take(tgt, perm)
             val_s = jnp.take(inter.astype(jnp.int32), perm)
-            dest = jnp.clip(tgt_s // blk, 0, d - 1)
+            dest = jnp.clip(tgt_s // blk, 0, d - 1).astype(jnp.int32)
             send_sz = jnp.sum(
                 (dest[:, None] == srcs[None, :]) & (tgt_s < big)[:, None],
                 axis=0, dtype=jnp.int32,
@@ -292,7 +313,7 @@ def _sharded_merge_ragged_impl(parts, lens, *, n, blk, d, bmax, mesh, native):
                              in_off, send_sz, out_off, recv_sz)
             placed = (
                 jnp.full(blk, jnp.int32(_PAD_SRC))
-                .at[jnp.where(tgt_r < big, tgt_r - pos0, blk)]
+                .at[jnp.where(tgt_r < big, tgt_r - pos0, blk).astype(jnp.int32)]
                 .set(val_r, mode="drop")
             )
             return jnp.where(valid, placed, jnp.int32(_PAD_SRC)).astype(jnp.uint8)
@@ -320,7 +341,7 @@ def _sharded_merge_ragged_impl(parts, lens, *, n, blk, d, bmax, mesh, native):
 
 def sharded_hm_merge(
     parts: list[np.ndarray], mesh: Mesh | None = None,
-    transport: str = "auto",
+    transport: str = "auto", force_wide: bool = False,
 ) -> np.ndarray:
     """Merge D partial BWTs with the interleave sharded across the mesh.
 
@@ -348,20 +369,22 @@ def sharded_hm_merge(
     for j, p in enumerate(parts):
         packed[j, : p.size] = p
     blk = -(-n // d)
+    wide = force_wide or n >= 2**31
     backend = jax.default_backend()
     if transport == "auto":
         transport = "ragged" if backend in ("tpu", "axon") else "dense"
-    if transport == "dense":
-        out = _sharded_merge_impl(
-            jnp.asarray(packed), jnp.asarray(lens),
-            n=n, blk=blk, d=d, bmax=bmax, mesh=mesh,
-        )
-    elif transport == "ragged":
-        out = _sharded_merge_ragged_impl(
-            jnp.asarray(packed), jnp.asarray(lens),
-            n=n, blk=blk, d=d, bmax=bmax, mesh=mesh,
-            native=backend in ("tpu", "axon"),
-        )
-    else:
-        raise ValueError(f"unknown transport {transport!r}")
+    with jax.enable_x64(wide):
+        if transport == "dense":
+            out = _sharded_merge_impl(
+                jnp.asarray(packed), jnp.asarray(lens),
+                n=n, blk=blk, d=d, bmax=bmax, mesh=mesh, wide=wide,
+            )
+        elif transport == "ragged":
+            out = _sharded_merge_ragged_impl(
+                jnp.asarray(packed), jnp.asarray(lens),
+                n=n, blk=blk, d=d, bmax=bmax, mesh=mesh,
+                native=backend in ("tpu", "axon"), wide=wide,
+            )
+        else:
+            raise ValueError(f"unknown transport {transport!r}")
     return np.asarray(out).reshape(-1)[:n]

@@ -60,3 +60,19 @@ def test_random_merges(rng):
                  for _ in range(int(rng.integers(1, 8)))]
         got = pairwise_bwt_merge(_bwt_of(left), _bwt_of(right))
         assert convert_itos(got) == naive_bwt(left + right)
+
+
+def test_pairwise_merge_wide_mode():
+    """int64 ("wide") positions — the >2^31-symbol path — must agree with
+    the int32 path on small data."""
+    from rust_msbwt_tpu.ops.merge import pairwise_bwt_merge
+
+    rng = np.random.default_rng(55)
+    a = naive_bwt(["".join(rng.choice(list("ACGT"), size=15)) for _ in range(10)])
+    b = naive_bwt(["".join(rng.choice(list("ACGT"), size=9)) for _ in range(14)])
+    ai = np.asarray(convert_stoi(a), np.uint8)
+    bi = np.asarray(convert_stoi(b), np.uint8)
+    assert np.array_equal(
+        pairwise_bwt_merge(ai, bi, force_wide=True),
+        pairwise_bwt_merge(ai, bi),
+    )

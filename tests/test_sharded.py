@@ -183,3 +183,48 @@ def test_ragged_transport_volume_is_one_over_d():
     assert C.sum(axis=1).tolist() == [
         min(blk, max(0, n - i * blk)) for i in range(8)
     ]
+
+
+def test_sharded_build_wide_merge_end_to_end():
+    """Forced-wide end-to-end build on the CPU mesh: per-shard int32 builds
+    composed by int64 merges must equal the single-device build (the
+    chr21-scale >2^31-symbol composition, exercised on small data)."""
+    from rust_msbwt_tpu.parallel.sharded_merge import sharded_hm_merge
+
+    rng = np.random.default_rng(61)
+    reads_l = [rng.integers(1, 6, rng.integers(4, 30)).astype(np.uint8)
+               for _ in range(50)]
+    reads, lens = encode_reads(reads_l)
+    want = build_msbwt(reads, lens)
+    for merge in ("tree", "sharded"):
+        got = build_msbwt_sharded(reads, lens, merge=merge, force_wide=True)
+        assert np.array_equal(got, want), merge
+    # ragged transport in wide mode as well
+    groups = [build_msbwt(*encode_reads(reads_l[i::4])) for i in range(4)]
+    from rust_msbwt_tpu.ops.merge import kway_merge
+    assert np.array_equal(
+        sharded_hm_merge(groups, transport="ragged", force_wide=True),
+        kway_merge(groups),
+    )
+
+
+def test_multihost_single_process_path():
+    """The multi-host build path in its single-process degenerate form must
+    produce the canonical MSBWT (init no-ops, stripe covers everything,
+    distributed merge over the virtual mesh)."""
+    from rust_msbwt_tpu.parallel.multihost import (
+        build_msbwt_multihost,
+        init_distributed,
+        process_read_slice,
+    )
+
+    assert init_distributed() is False  # no cluster env in tests
+    rng = np.random.default_rng(83)
+    reads_l = [rng.integers(1, 6, rng.integers(3, 25)).astype(np.uint8)
+               for _ in range(40)]
+    sl = process_read_slice(len(reads_l))
+    assert (sl.start, sl.stop) == (0, len(reads_l))
+    reads, lens = encode_reads([reads_l[i] for i in range(sl.start, sl.stop)])
+    got = build_msbwt_multihost(reads, lens)
+    want = build_msbwt(reads, lens)
+    assert np.array_equal(got, want)
