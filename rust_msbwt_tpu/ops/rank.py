@@ -167,14 +167,46 @@ def _cache_level_impl(bwt, occ, starts, n, lo, hi, *, size):
     return jnp.stack([new_lo, new_hi], axis=1)
 
 
+@functools.partial(jax.jit, static_argnames=("n", "cache_k"))
+def _cache_fused_impl(bwt, occ, starts, n, *, cache_k):
+    """All cache levels in ONE program: fixed 6^k buffers + a fori_loop.
+
+    Level l computes, for EVERY slot c, ``extend(T[c mod 6^(l-1)], digit)``
+    — slots past 6^l hold garbage that later levels overwrite and never
+    read (``rest < 6^(l-1)`` always lands in the valid region). The modest
+    work inflation (k * 6^k ranks instead of sum 6^l) buys one compile
+    instead of k — the per-level chain of programs is what made cache
+    builds cost seconds per fresh BWT shape.
+    """
+    index = OccIndex(bwt=bwt, occ=occ, starts=starts, n=n)
+    size = VC_LEN ** cache_k
+    pows = jnp.asarray([VC_LEN ** i for i in range(cache_k)], jnp.int32)
+    codes = jnp.arange(size, dtype=jnp.int32)
+    lo = jnp.zeros(size, jnp.int32)
+    hi = jnp.full(size, n, jnp.int32)
+
+    def level(l, carry):
+        lo, hi = carry
+        p = pows[l - 1]
+        sym = (codes // p) % VC_LEN
+        rest = codes % p
+        return constrain_range(index, sym, jnp.take(lo, rest),
+                               jnp.take(hi, rest))
+
+    lo, hi = jax.lax.fori_loop(1, cache_k + 1, level, (lo, hi))
+    return jnp.stack([lo, hi], axis=1)
+
+
 def build_kmer_cache(bwt, occ, starts, n, cache_k: int):
     """Ranges of every length-``cache_k`` string over the 6-symbol alphabet
     (``[VC_LEN**cache_k, 2]`` i32) — realizes the caching idea the reference
-    sketches but never ships (ref: src/msbwt_core.rs:133-146). Built level by
-    level: ranges of length-l strings from length-(l-1) ranges via one
-    batched LF step, total work ~ VC_LEN**cache_k ranks. Levels past 6^8
-    entries run in fixed-size chunks (one giant program fails to compile).
+    sketches but never ships (ref: src/msbwt_core.rs:133-146). Up to 6^8
+    entries the whole build is ONE fused program (``_cache_fused_impl``);
+    deeper caches build level by level, with levels past 6^8 entries run in
+    fixed-size chunks (one giant program fails to compile).
     """
+    if cache_k <= 8:
+        return _cache_fused_impl(bwt, occ, starts, n, cache_k=cache_k)
     table = jnp.stack(
         [jnp.zeros(1, jnp.int32), jnp.full(1, int(n), jnp.int32)], axis=1
     )  # level 0: the empty string
