@@ -317,10 +317,12 @@ def merge_insert_phys(old_phys, q, v, active, *, interpret=False):
     n_chunks = rows // CS
     m = jnp.sum(active.astype(jnp.int32))
     qp = jnp.where(active, q + CHUNK, total)  # phys coords; inactive -> dropped
+    # int8 insertion stream: the scatter target, the tmap-delta read and the
+    # pack read all shrink 4x vs int32 (values are v+1 <= 6)
     ins = (
-        jnp.zeros(total, jnp.int32)
+        jnp.zeros(total, jnp.int8)
         .at[qp]
-        .set(v.astype(jnp.int32) + 1, mode="drop")
+        .set(v.astype(jnp.int8) + 1, mode="drop")
         .reshape(rows, 128)
     )
     tmap = _tmap_from_delta((ins > 0).astype(jnp.int32))
@@ -330,6 +332,6 @@ def merge_insert_phys(old_phys, q, v, active, *, interpret=False):
     chunk_a = jnp.concatenate([jnp.zeros(1, jnp.int32), ends])
     # one packed stream instead of two: (tmap << 3) | insval — insval < 8,
     # tmap <= N < 2^28. Saves 8n bytes of HBM traffic per stage.
-    ti = (tmap << 3) | ins
+    ti = (tmap << 3) | ins.astype(jnp.int32)
     new_phys, table = _merge_call(chunk_a, old_phys, ti, interpret=interpret)
     return new_phys, table, m
