@@ -115,3 +115,18 @@ def test_extract_cli(tmp_path, capsys):
     assert lines == [">read_0", "ACGT", ">read_1", "TGCA"]
     assert extract_main([str(out), "1"]) == 0
     assert capsys.readouterr().out == ">read_1\nTGCA\n"
+
+
+def test_build_distributed_byte_identity(tmp_path):
+    """--distributed (single-process degenerate form over the virtual mesh)
+    must produce the same byte-identical npy."""
+    out = tmp_path / "dist.npy"
+    rc = build_main(["--distributed", "-o", str(out), GOLDEN_FA])
+    assert rc == 0
+    assert out.read_bytes() == open(GOLDEN_NPY, "rb").read()
+
+
+def test_build_distributed_rejects_unsorted(tmp_path):
+    out = tmp_path / "dist2.npy"
+    rc = build_main(["--distributed", "--unsorted", "-o", str(out), GOLDEN_FA])
+    assert rc != 0  # chronological order is not defined across processes
