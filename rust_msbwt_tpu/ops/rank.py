@@ -207,10 +207,9 @@ def build_kmer_cache(bwt, occ, starts, n, cache_k: int):
     """
     if cache_k <= 8:
         return _cache_fused_impl(bwt, occ, starts, n, cache_k=cache_k)
-    table = jnp.stack(
-        [jnp.zeros(1, jnp.int32), jnp.full(1, int(n), jnp.int32)], axis=1
-    )  # level 0: the empty string
-    for level in range(1, cache_k + 1):
+    # deep caches: fused program to level 8, then chunked levels on top
+    table = _cache_fused_impl(bwt, occ, starts, n, cache_k=8)
+    for level in range(9, cache_k + 1):
         size = VC_LEN ** (level - 1)
         if size <= _CACHE_LEVEL_CHUNK:
             table = _cache_level_impl(

@@ -92,3 +92,26 @@ def test_cache_cleared_on_reload(setup, rng):
     fresh.load_vector(bytes_from_runs(*runs_from_symbols(np.asarray(dec_b, np.uint8))))
     assert counts.tolist() == fresh.count_kmers(q).tolist()
     assert all(c >= 1 for c in counts.tolist())
+
+
+def test_fused_cache_equals_chained_levels(setup):
+    """The fused single-program builder must equal the per-level chain it
+    replaced (the chain is still the >6^8 deep-cache continuation, seeded
+    from the fused level-8 table — this pins the seam)."""
+    import jax.numpy as jnp
+
+    from rust_msbwt_tpu.ops.rank import _cache_fused_impl, _cache_level_impl
+
+    data, decoded, index = setup
+    k = 5
+    table = jnp.stack(
+        [jnp.zeros(1, jnp.int32), jnp.full(1, int(index.n), jnp.int32)], axis=1
+    )
+    for level in range(1, k + 1):
+        table = _cache_level_impl(
+            index.bwt, index.occ, index.starts, index.n,
+            table[:, 0], table[:, 1], size=6 ** (level - 1),
+        )
+    fused = _cache_fused_impl(index.bwt, index.occ, index.starts, index.n,
+                              cache_k=k)
+    assert np.array_equal(np.asarray(fused), np.asarray(table))
