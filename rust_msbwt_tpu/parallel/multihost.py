@@ -47,15 +47,22 @@ logger = logging.getLogger("rust_msbwt_tpu")
 
 
 def init_distributed() -> bool:
-    """Initialize ``jax.distributed`` from the environment.
+    """Initialize ``jax.distributed`` from the environment (idempotent).
 
-    Returns True if a multi-process runtime was initialized. Priority:
-    explicit ``MSBWT_COORDINATOR``/``MSBWT_NUM_PROCS``/``MSBWT_PROC_ID``
-    env vars; else ``jax.distributed.initialize()`` auto-detection when a
-    cluster environment (TPU pod slice, SLURM, ...) is present; else
-    single-process no-op.
+    Returns True if a multi-process runtime is active. Priority: explicit
+    ``MSBWT_COORDINATOR``/``MSBWT_NUM_PROCS``/``MSBWT_PROC_ID`` env vars;
+    else ``jax.distributed.initialize()`` auto-detection when a cluster
+    environment (TPU pod slice, SLURM, ...) is present; else single-process
+    no-op. Must run before anything touches the XLA backend. On CPU
+    clusters also set ``jax.config.update("jax_cpu_collectives_implementation",
+    "gloo")`` (see tests/test_multihost_procs.py for a working 2-process
+    launch).
     """
     import jax
+    from jax._src import distributed as _dist
+
+    if _dist.global_state.client is not None:  # already initialized
+        return _dist.global_state.num_processes > 1
 
     coord = os.environ.get("MSBWT_COORDINATOR")
     if coord:
@@ -99,8 +106,14 @@ def build_msbwt_multihost(reads: np.ndarray, lengths: np.ndarray,
     ``reads``/``lengths`` are THIS process's stripe (already sliced with
     :func:`process_read_slice`). Per-device BCR builds run data-parallel
     over the local devices of every process; the cross-host combine is the
-    distributed D-way H-M merge over the global mesh (ragged transport on
-    TPU). Returns the full decoded BWT on every process (gathered)."""
+    distributed D-way H-M merge over the global mesh. Returns the full
+    decoded BWT on every process.
+
+    The H-M merge is exact on rotation order whatever the read
+    distribution, so no cross-host read sort is needed — each device builds
+    the partial BWT of whatever reads its process handed it, and the merge
+    canonicalizes (tested 2-process in tests/test_multihost_procs.py).
+    """
     import jax
 
     from rust_msbwt_tpu.parallel.mesh import default_mesh
@@ -110,13 +123,84 @@ def build_msbwt_multihost(reads: np.ndarray, lengths: np.ndarray,
         mesh = default_mesh()  # global devices once distributed init ran
     if jax.process_count() == 1:
         return build_msbwt_sharded(reads, lengths, mesh=mesh, merge="sharded")
-    # Multi-process: each process contributes its stripe. The sharded build
-    # sorts and chunks ITS reads over the global mesh axis positions owned
-    # by its addressable devices; the merge is global.
-    from jax.experimental import multihost_utils
+    return _build_multiprocess(reads, lengths, mesh)
 
-    out = build_msbwt_sharded(reads, lengths, mesh=mesh, merge="sharded")
-    return np.asarray(multihost_utils.process_allgather(out))
+
+def _build_multiprocess(reads, lengths, mesh) -> np.ndarray:
+    """True multi-process SPMD build: every process holds only its stripe;
+    global arrays are assembled shard-wise (``make_array_from_process_local_data``),
+    the per-shard BCR and the D-way merge run as ONE global program each,
+    and the merged result is gathered host-side on every process."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import multihost_utils
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from rust_msbwt_tpu.ops.bcr import reads_to_cols, sort_reads
+    from rust_msbwt_tpu.parallel.mesh import AXIS
+    from rust_msbwt_tpu.parallel.sharded_build import _shardwise_bcr
+    from rust_msbwt_tpu.parallel.sharded_merge import _sharded_merge_impl
+
+    D = mesh.devices.size
+    n_local_dev = len([d for d in mesh.devices.flat if d.process_index ==
+                       jax.process_index()])
+    reads = np.asarray(reads, dtype=np.uint8)
+    lengths = np.asarray(lengths, dtype=np.int32)
+    # agree on global geometry: per-process (N, L) -> padded maxima
+    geom = multihost_utils.process_allgather(
+        jnp.asarray([reads.shape[0], reads.shape[1]], jnp.int32)
+    )
+    geom = np.asarray(geom).reshape(-1, 2)
+    L = int(geom[:, 1].max())
+    if reads.shape[1] < L:
+        reads = np.pad(reads, ((0, 0), (0, L - reads.shape[1])))
+    # local per-device chunks (sorted locally — merge canonicalizes order)
+    reads, lengths = sort_reads(reads, lengths)
+    N = reads.shape[0]
+    # every process must use the SAME per-device row count
+    Nl = int(np.max(np.ceil(geom[:, 0] / n_local_dev)).astype(int))
+    pad = n_local_dev * Nl - N
+    if pad:
+        reads = np.vstack([reads, np.zeros((pad, L), np.uint8)])
+        lengths = np.concatenate([lengths, np.full(pad, -1, np.int32)])
+    lengths_loc = lengths.reshape(n_local_dev, Nl)
+    cols_loc = np.stack([
+        reads_to_cols(reads[d * Nl : (d + 1) * Nl], lengths_loc[d])
+        for d in range(n_local_dev)
+    ])  # [D_local, L+2, Nl]
+
+    sh3 = NamedSharding(mesh, P(AXIS, None, None))
+    sh2 = NamedSharding(mesh, P(AXIS, None))
+    cols_g = jax.make_array_from_process_local_data(
+        sh3, cols_loc, (D, L + 2, Nl)
+    )
+    lengths_g = jax.make_array_from_process_local_data(
+        sh2, lengths_loc, (D, Nl)
+    )
+    # global shard sizes (tiny; replicated via allgather)
+    sizes_loc = np.where(lengths_loc >= 0, lengths_loc + 1, 0).sum(
+        axis=1
+    ).astype(np.int32)
+    shard_sizes = np.asarray(
+        multihost_utils.process_allgather(jnp.asarray(sizes_loc))
+    ).reshape(-1)
+    n_cap = int(shard_sizes.max())
+    parts = _shardwise_bcr(cols_g, lengths_g, n_cap=n_cap, L=L, mesh=mesh)
+    # parts: [D, n_cap] sharded, PAD(7) past each shard's true size — exactly
+    # the packed layout the merge impl takes
+    n = int(shard_sizes.sum())
+    blk = -(-n // D)
+    wide = n >= 2**31
+    with jax.enable_x64(wide):
+        merged = _sharded_merge_impl(
+            parts, jnp.asarray(shard_sizes),
+            n=n, blk=blk, d=D, bmax=n_cap, mesh=mesh, wide=wide,
+        )
+    out = np.asarray(
+        multihost_utils.process_allgather(merged, tiled=True)
+    ).reshape(-1)[:n]
+    assert out.size == n
+    return out.astype(np.uint8)
 
 
 def build_from_fastx_distributed(filenames, sorted_strings: bool = True):
