@@ -94,6 +94,43 @@ class BWTBase:
         counts = self.count_kmers(windows.reshape(B * w, k))
         return counts.reshape(B, w)
 
+    def count_kmers_bidirectional(self, kmers, lengths=None) -> np.ndarray:
+        """Forward + reverse-complement counts per k-mer: the double-stranded
+        convention of the original msbwt's applications (reads sample both
+        strands, so motif abundance = fw + rc occurrences; fmlrc-style error
+        correction consumes exactly this). Palindromic k-mers count both
+        directions, matching that convention.
+
+        >>> from rust_msbwt_tpu.models.dynamic import DynamicBWT
+        >>> bwt = DynamicBWT()
+        >>> bwt.insert_string("ACGT", True)
+        >>> bwt.insert_string("TGCA", True)
+        >>> import numpy as np
+        >>> bwt.count_kmers_bidirectional(np.array([[3, 2]])).tolist()  # GC
+        [2]
+        """
+        from rust_msbwt_tpu.ops.alphabet import COMPLEMENT_INT
+
+        kmers = np.asarray(kmers, dtype=np.uint8)
+        if kmers.ndim == 1:
+            kmers = kmers[None, :]
+        B, K = kmers.shape
+        if lengths is None:
+            lengths = np.full(B, K, dtype=np.int32)
+        lengths = np.asarray(lengths, dtype=np.int32)
+        comp = np.asarray(COMPLEMENT_INT, dtype=np.uint8)[kmers]
+        # reverse each row's right-aligned window, keeping right alignment
+        j = np.arange(K, dtype=np.int64)[None, :]
+        src = 2 * K - lengths[:, None] - 1 - j
+        valid = j >= (K - lengths[:, None])
+        rc = np.where(
+            valid, np.take_along_axis(comp, np.clip(src, 0, K - 1), axis=1), 0
+        ).astype(np.uint8)
+        counts = self.count_kmers(
+            np.vstack([kmers, rc]), np.concatenate([lengths, lengths])
+        )
+        return counts[:B] + counts[B:]
+
     def count_kmers(self, kmers, lengths=None) -> np.ndarray:
         """Batched ``count_kmer``: ``[B, K]`` right-aligned int k-mers -> ``[B]``.
 

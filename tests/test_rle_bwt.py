@@ -180,3 +180,32 @@ def test_kmer_profile():
         for j in range(20 - k + 1):
             assert prof[i, j] == bwt.count_kmer(reads[i, j : j + k])
     assert (prof >= 1).all()  # every window occurs at least in its own read
+
+
+def test_count_kmers_bidirectional():
+    """fw + rc counting (the double-stranded application convention),
+    verified against explicit two-query sums incl. ragged lengths and
+    palindromes."""
+    from rust_msbwt_tpu.models.rle_bwt import RleBWT
+    from rust_msbwt_tpu.ops.alphabet import (
+        convert_stoi, reverse_complement_i,
+    )
+    from rust_msbwt_tpu.ops.rle import bytes_from_runs, runs_from_symbols
+    from rust_msbwt_tpu.utils.oracle import naive_bwt
+
+    rng = np.random.default_rng(13)
+    data = ["".join(rng.choice(list("ACGNT"), size=18)) for _ in range(40)]
+    dec = np.asarray(convert_stoi(naive_bwt(data)), np.uint8)
+    bwt = RleBWT()
+    bwt.load_vector(bytes_from_runs(*runs_from_symbols(dec)))
+    B, K = 60, 7
+    kmers = rng.integers(0, 6, size=(B, K)).astype(np.uint8)
+    lens = rng.integers(1, K + 1, B).astype(np.int32)
+    for i in range(B):
+        kmers[i, : K - lens[i]] = 0
+    kmers[0] = convert_stoi("GCATGC")[None, :][0, :6].tolist() + [0]  # near-palindrome content
+    got = bwt.count_kmers_bidirectional(kmers, lens)
+    for i in range(B):
+        fw = bwt.count_kmer(kmers[i, K - lens[i]:])
+        rc = bwt.count_kmer(reverse_complement_i(kmers[i, K - lens[i]:]))
+        assert got[i] == fw + rc, i
