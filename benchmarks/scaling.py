@@ -49,14 +49,10 @@ def merge_volumes(parts: list[np.ndarray], d: int):
     """Exact per-device per-round exchanged elements for both transports,
     from the converged interleave (host replication of the H-M fixpoint)."""
     from rust_msbwt_tpu.ops.merge import merge_interleave
-    from rust_msbwt_tpu.ops.merge import kway_merge  # noqa: F401
 
-    # converge the interleave with the production pairwise op repeatedly to
-    # get the final D-way assignment (source id per merged position)
-    srcs = np.concatenate([np.full(p.size, j) for j, p in enumerate(parts)])
-    merged_src = srcs.copy()
-    # D-way final assignment via iterative pairwise merges of (bwt, src) —
-    # cheap host bookkeeping, production-path equivalent
+    # D-way final assignment (source id per merged position) via iterative
+    # pairwise merges of (bwt, src) — cheap host bookkeeping, equivalent to
+    # the production path
     bwts = [np.asarray(p, np.uint8) for p in parts]
     tags = [np.full(p.size, j) for j, p in enumerate(parts)]
     while len(bwts) > 1:
@@ -92,7 +88,7 @@ def merge_volumes(parts: list[np.ndarray], d: int):
     return C, ragged_per_dev, dense_per_dev, n
 
 
-def measured_rounds(parts, mesh):
+def measured_rounds(parts):
     """Count refinement rounds by running the host fixpoint (equals the
     device while_loop trip count)."""
     from rust_msbwt_tpu.utils.oracle import (
@@ -118,10 +114,7 @@ def measured_rounds(parts, mesh):
 
 
 def main():
-    from rust_msbwt_tpu.ops.alphabet import convert_stoi
     from rust_msbwt_tpu.ops.bcr import build_msbwt, encode_reads
-    from rust_msbwt_tpu.parallel.mesh import default_mesh
-    from rust_msbwt_tpu.utils.oracle import naive_bwt  # noqa: F401
 
     rng = np.random.default_rng(2024)
     genome = rng.integers(1, 6, 5_000).astype(np.uint8)
@@ -139,9 +132,8 @@ def main():
         C, ragged, dense, n = merge_volumes(groups, d)
         print(f"{d:>3} {n:>8} {ragged:>11} {dense:>10} {dense/ragged:>6.1f}")
 
-    mesh = default_mesh()
     groups = [build_msbwt(*encode_reads(reads_l[i::8])) for i in range(8)]
-    rounds = measured_rounds(groups, mesh)
+    rounds = measured_rounds(groups)
     n = sum(g.size for g in groups)
     print(f"\nmerge refinement rounds to fixpoint (n={n}): {rounds} "
           f"(bound: max rotation period = 61)")
