@@ -1,0 +1,291 @@
+"""2-step FM index: backward search two symbols per round.
+
+Queries on big indexes are gather-THROUGHPUT bound (BASELINE.md: the loop
+sustains ~41M gathers/s, at the measured HBM random-access rate), so the
+only way up is FEWER gathers per query. The k-step FM-index trick halves
+the dependent LF rounds: precompute occurrence tables over symbol PAIRS
+and consume two pattern symbols per rank.
+
+Math (one fused double step): for a range end ``l`` and pattern symbols
+``s1 s2`` (consumed right-to-left, ``s2`` first),
+
+    l1 = C[s2] + rank_{s2}(l)
+    l2 = C[s1] + rank_{s1}(l1)
+       = C[s1] + D[s1][s2] + rank2_{(s2,s1)}(l)
+
+where ``D[s1][s2] = #{j < C[s2] : BWT[j] = s1}`` is a 6x6 constant and
+``rank2_{(a,b)}(l) = #{i < l : BWT[i] = a and BWT[LF(i)] = b}`` is rank
+over the PAIR stream ``PS[i] = (BWT[i] << 3) | BWT[LF(i)]`` (proof: the
+rows of the ``s2``-block below ``l1`` correspond order-preservingly via LF
+to rows ``i < l`` with ``BWT[i] = s2``, and their BWT symbol is
+``BWT[LF(i)]``).
+
+Layout: per 128-position bin ONE [256]-lane i32 row — lanes 0..47 hold the
+48 shift-packed pair-code occurrence checkpoints, lanes 64..159 hold 6
+bit-planes x 16 qwords of the in-bin 6-bit pair codes. A pair rank is ONE
+row gather (row *bytes* don't change gather cost on this chip — only
+gather COUNT does) + XNOR/AND/popcount over 6 planes. The shift packing
+makes the odd-tail SINGLE-symbol rank free: matching only planes 3..5
+counts positions with ``BWT[i] = s`` for any previous symbol. A 21-mer
+with a cache_k=8 seed costs 7 rounds x 2 gathers = 14 gathers, vs 13
+rounds x 2 = 26 through the single-step table.
+
+The pair stream needs LF for every position: LF is the inverse of the
+stable sort permutation of the BWT (LF(i) = rank of i when positions are
+stably ordered by symbol), built with one argsort + inverse scatter at
+index-build time.
+
+This is a pure QUERY-side structure: on-disk bytes and all other behavior
+are untouched (reference hot loop being accelerated: src/rle_bwt.rs:202-287,
+two pattern symbols per round).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rust_msbwt_tpu.ops.alphabet import VC_LEN
+from rust_msbwt_tpu.ops.rank import BIN, OccIndex
+
+PAIR_LANES = 48     # shift-packed codes (s << 3) | prev, s/prev in 0..5
+_PAD_PAIR = 63      # never matches a real code (real max = 0b101101 = 45)
+
+
+class PairIndex(NamedTuple):
+    """Device 2-step rank index."""
+
+    table2: jax.Array   # i32 [NB, 256]: occ lanes 0..47; planes at 64..159
+    starts: jax.Array   # i32 [VC_LEN + 1] C array
+    dmat: jax.Array     # i32 [VC_LEN * VC_LEN]: D[s1*6 + s2] constants
+    n: int
+
+
+# strict prefix matrix: T[j, i] = 1 iff j < i, so (m @ T)[i] = #{j < i: m[j]}
+_TRI_EXCL_NP = np.triu(np.ones((BIN, BIN), np.float32), 1)
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def _build_pair_stream(bwt_padded, occ, starts, *, n):
+    """PS[i] = (BWT[i] << 3) | BWT[LF(i)] for i < n, else the pad code.
+
+    LF is computed positionally from the occ checkpoints (no 500M-element
+    sort): LF(i) = C[c] + occ[bin(i), c] + (exclusive in-bin rank of i
+    among same-symbol positions), the in-bin rank via six bf16 MXU matmuls
+    with a strict-lower-triangular prefix matrix (counts <= 128:
+    bf16-exact). One n-element gather then reads BWT[LF(i)]."""
+    npad = bwt_padded.shape[0]
+    NB = npad // BIN
+    bins = bwt_padded.reshape(NB, BIN)
+    tri = jnp.asarray(_TRI_EXCL_NP, jnp.bfloat16)
+    excl = jnp.zeros((NB, BIN), jnp.float32)
+    occ_base = jnp.zeros((NB, BIN), jnp.int32)
+    for s in range(VC_LEN):
+        m = (bins == s)
+        e = jnp.dot(m.astype(jnp.bfloat16), tri,
+                    preferred_element_type=jnp.float32)
+        excl = jnp.where(m, e, excl)
+        occ_base = jnp.where(m, occ[:NB, s][:, None], occ_base)
+    sym = bins.astype(jnp.int32)
+    lf = (
+        jnp.take(starts, jnp.clip(sym, 0, VC_LEN))
+        + occ_base
+        + excl.astype(jnp.int32)
+    ).reshape(-1)
+    idx = jnp.arange(npad, dtype=jnp.int32)
+    prev = jnp.take(bwt_padded, jnp.clip(lf, 0, npad - 1))
+    ps = (bwt_padded.astype(jnp.int32) << 3) | prev.astype(jnp.int32)
+    return jnp.where(idx < n, ps, _PAD_PAIR).astype(jnp.int32)
+
+
+def _pair_weights() -> np.ndarray:
+    """[6, 128, 128] f32: plane-p weights mapping in-bin position i to qword
+    lane 16p + i//8 with weight 2^(i%8) (byte sums <= 255: bf16-exact)."""
+    w = np.zeros((6, 128, 128), np.float32)
+    for plane in range(6):
+        for i in range(128):
+            w[plane, i, 16 * plane + i // 8] = float(1 << (i % 8))
+    return w
+
+
+_PAIR_W = _pair_weights()
+
+
+@jax.jit
+def _build_pair_table(ps):
+    """[NB, 256] rows: pair occ checkpoints + 6 bit-planes of qwords."""
+    npad = ps.shape[0]
+    NB = npad // BIN
+    bins = ps.reshape(NB, BIN)
+    pair_ids = jnp.arange(PAIR_LANES, dtype=jnp.int32)
+    per_bin = jnp.sum(
+        bins[:, :, None] == pair_ids[None, None, :], axis=1, dtype=jnp.int32
+    )  # [NB, 48]
+    occ2 = jnp.cumsum(per_bin, axis=0, dtype=jnp.int32) - per_bin
+    wq = jnp.asarray(_PAIR_W, jnp.bfloat16)
+    acc = jnp.zeros((NB, 128), jnp.float32)
+    for p in range(6):
+        bits = ((bins >> p) & 1).astype(jnp.bfloat16)
+        acc = acc + jnp.dot(bits, wq[p], preferred_element_type=jnp.float32)
+    planes = acc.astype(jnp.int32)  # lanes 0..95 used (6 planes x 16 qwords)
+    row = jnp.zeros((NB, 256), jnp.int32)
+    row = row.at[:, :PAIR_LANES].set(occ2)
+    row = row.at[:, 64:192].set(planes)
+    return row
+
+
+def build_pair_index(index: OccIndex) -> PairIndex:
+    """Derive the 2-step index from the standard occ index (one-time cost:
+    an argsort + inverse scatter + one table pass)."""
+    ps = _build_pair_stream(index.bwt, index.occ, index.starts, n=index.n)
+    table2 = _build_pair_table(ps)
+    # D[s1][s2] = occurrences of s1 strictly before C[s2]: occ checkpoint of
+    # C[s2]'s bin + an in-bin correction (host; 36 tiny scans)
+    starts_np = np.asarray(index.starts)
+    occ_np = np.asarray(index.occ)
+    bwt_np = np.asarray(index.bwt)
+    dmat = np.zeros((VC_LEN, VC_LEN), np.int32)
+    for s2 in range(VC_LEN):
+        c = int(starts_np[s2])
+        b, r = divmod(c, BIN)
+        window = bwt_np[b * BIN : b * BIN + r]
+        for s1 in range(VC_LEN):
+            dmat[s1, s2] = int(occ_np[b, s1]) + int(
+                np.count_nonzero(window == s1)
+            )
+    return PairIndex(
+        table2=table2, starts=index.starts,
+        dmat=jnp.asarray(dmat.reshape(-1)), n=index.n,
+    )
+
+
+def _rows_of(table2, pos):
+    """The one gather per rank: [B] positions -> [B, 256] bin rows."""
+    return jnp.take(table2, pos // BIN, axis=0)
+
+
+def _decode_rank(row, pos, code, n_planes):
+    """Rank from an already-gathered row. ``n_planes=6`` matches the full
+    6-bit pair code; ``n_planes=3`` matches only the BWT-symbol planes
+    (bits 3..5), i.e. single-symbol rank with any previous symbol."""
+    B = code.shape[0]
+    if n_planes == 6:
+        occ_oh = code[:, None] == jnp.arange(PAIR_LANES, dtype=jnp.int32)[None, :]
+        occ_base = jnp.sum(
+            jnp.where(occ_oh, row[:, :PAIR_LANES], 0), axis=1, dtype=jnp.int32
+        )
+        planes = range(6)
+    else:
+        # single symbol s = code: occ base = sum of its 8 pair lanes
+        # (codes (s<<3)|0 .. (s<<3)|7; lanes for prev >= 6 are always zero)
+        lane8 = jnp.arange(PAIR_LANES, dtype=jnp.int32)[None, :] >> 3
+        occ_base = jnp.sum(
+            jnp.where(lane8 == code[:, None], row[:, :PAIR_LANES], 0),
+            axis=1, dtype=jnp.int32,
+        )
+        code = code << 3  # align the symbol bits with planes 3..5
+        planes = range(3, 6)
+    match = jnp.full((B, 16), -1, jnp.int32)
+    for p in planes:
+        words = row[:, 64 + 16 * p : 80 + 16 * p]
+        sp = -((code >> p) & 1)
+        match = match & ~(words ^ sp[:, None])
+    match = match & 0xFF
+    q8 = jnp.arange(16, dtype=jnp.int32)[None, :] * 8
+    b = pos // BIN
+    sh = jnp.clip((pos - b * BIN)[:, None] - q8, 0, 8)
+    pmask = (jnp.int32(1) << sh) - 1
+    local = jnp.sum(
+        jax.lax.population_count(match & pmask), axis=1, dtype=jnp.int32
+    )
+    return occ_base + local
+
+
+@functools.partial(jax.jit, static_argnames=("n", "cache_k"))
+def _count_kmers_pair_impl(table2, starts, dflat, n, kmers, lengths,
+                           cache=None, cache_k=0):
+    """Backward search consuming TWO symbols per round; an odd tail consumes
+    one symbol from the same gathered row via the 3-plane decode."""
+    B, K = kmers.shape
+    lo = jnp.zeros(B, jnp.int32)
+    hi = jnp.full(B, n, jnp.int32)
+
+    t_start = 0
+    if cache is not None and cache_k > 0 and K >= cache_k:
+        weights = VC_LEN ** (cache_k - 1 - jnp.arange(cache_k, dtype=jnp.int32))
+        code = jnp.sum(
+            kmers[:, K - cache_k :].astype(jnp.int32) * weights[None, :], axis=1
+        )
+        seeded = jnp.take(cache, code, axis=0)
+        lo, hi = seeded[:, 0], seeded[:, 1]
+        t_start = cache_k
+
+    def pair_step(t, carry):
+        lo, hi = carry
+        col2 = K - 1 - t
+        s2 = jax.lax.dynamic_slice_in_dim(kmers, col2, 1, axis=1)[:, 0]
+        s1 = jax.lax.dynamic_slice_in_dim(
+            kmers, jnp.maximum(col2 - 1, 0), 1, axis=1
+        )[:, 0]
+        s2 = s2.astype(jnp.int32)
+        s1 = s1.astype(jnp.int32)
+        both = (t + 1) < lengths          # two symbols remain
+        one = (t < lengths) & jnp.logical_not(both)
+        s2m = jnp.where(t < lengths, s2, 0)
+        s1m = jnp.where(both, s1, 0)
+        code2 = (s2m << 3) | s1m          # PS code (BWT=s2, prev=s1)
+        row_lo = _rows_of(table2, lo)
+        row_hi = _rows_of(table2, hi)
+        d = starts[s1m] + dflat[s1m * VC_LEN + s2m]
+        new_lo2 = d + _decode_rank(row_lo, lo, code2, 6)
+        new_hi2 = d + _decode_rank(row_hi, hi, code2, 6)
+        new_lo1 = starts[s2m] + _decode_rank(row_lo, lo, s2m, 3)
+        new_hi1 = starts[s2m] + _decode_rank(row_hi, hi, s2m, 3)
+        lo = jnp.where(both, new_lo2, jnp.where(one, new_lo1, lo))
+        hi = jnp.where(both, new_hi2, jnp.where(one, new_hi1, hi))
+        return lo, hi
+
+    n_rounds = max(-(-(K - t_start) // 2), 0)
+    lo, hi = jax.lax.fori_loop(
+        0, n_rounds,
+        lambda r, c: pair_step(t_start + 2 * r, c),
+        (lo, hi),
+    )
+    return hi - lo
+
+
+def count_kmers_pair(pidx: PairIndex, kmers, lengths=None, cache=None,
+                     cache_k: int = 0) -> np.ndarray:
+    """Batched ``count_kmer`` through the 2-step index (results identical to
+    ``ops.rank.count_kmers`` — pinned by tests)."""
+    kmers = np.asarray(kmers, dtype=np.uint8)
+    if kmers.ndim == 1:
+        kmers = kmers[None, :]
+    if not np.all(kmers < VC_LEN):
+        raise AssertionError("k-mer symbols must be < 6")
+    B, K = kmers.shape
+    if lengths is None:
+        lengths = np.full(B, K, dtype=np.int32)
+    lengths = np.asarray(lengths, dtype=np.int32)
+    if cache is not None and cache_k > 0 and K >= cache_k:
+        short = lengths < cache_k
+        if short.any():
+            out = np.empty(B, dtype=np.int64)
+            out[short] = count_kmers_pair(pidx, kmers[short], lengths[short])
+            out[~short] = count_kmers_pair(
+                pidx, kmers[~short], lengths[~short], cache=cache,
+                cache_k=cache_k,
+            )
+            return out
+    else:
+        cache, cache_k = None, 0
+    out = _count_kmers_pair_impl(
+        pidx.table2, pidx.starts, pidx.dmat, pidx.n,
+        jnp.asarray(kmers), jnp.asarray(lengths),
+        cache=cache, cache_k=cache_k,
+    )
+    return np.asarray(out)
