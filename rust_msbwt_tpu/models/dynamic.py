@@ -88,6 +88,7 @@ class DynamicBWT(BWTBase):
         self._occ_cache = None
         self._packed_cache = None
         self._host_cache = None
+        self._pair_cache = None
 
     def _materialize(self) -> None:
         if not self._pending:
@@ -245,6 +246,23 @@ class DynamicBWT(BWTBase):
         return self._packed_cache
 
     def count_kmers(self, kmers, lengths=None) -> np.ndarray:
+        import os
+
+        from rust_msbwt_tpu.models.rle_bwt import RleBWT
+
+        if (
+            self.get_total_size() >= RleBWT.PAIR_AUTO_MIN_SYMBOLS
+            and not os.environ.get("MSBWT_TPU_NO_PAIR")
+        ):
+            # big dynamic BWTs query through the 2-step index too (rebuilt
+            # lazily after mutations — derivation is ~1 s per 100M symbols)
+            if getattr(self, "_pair_cache", None) is None:
+                from rust_msbwt_tpu.ops.pair_rank import build_pair_index
+
+                self._pair_cache = build_pair_index(self.device_index)
+            from rust_msbwt_tpu.ops.pair_rank import count_kmers_pair
+
+            return count_kmers_pair(self._pair_cache, kmers, lengths)
         from rust_msbwt_tpu.ops.packed_rank import count_kmers_packed
 
         return count_kmers_packed(self.packed_index, kmers, lengths)
