@@ -20,20 +20,19 @@ rows of the ``s2``-block below ``l1`` correspond order-preservingly via LF
 to rows ``i < l`` with ``BWT[i] = s2``, and their BWT symbol is
 ``BWT[LF(i)]``).
 
-Layout: per 128-position bin ONE [256]-lane i32 row — lanes 0..47 hold the
-48 shift-packed pair-code occurrence checkpoints, lanes 64..159 hold 6
-bit-planes x 16 qwords of the in-bin 6-bit pair codes. A pair rank is ONE
-row gather (row *bytes* don't change gather cost on this chip — only
-gather COUNT does) + XNOR/AND/popcount over 6 planes. The shift packing
-makes the odd-tail SINGLE-symbol rank free: matching only planes 3..5
-counts positions with ``BWT[i] = s`` for any previous symbol. A 21-mer
-with a cache_k=8 seed costs 7 rounds x 2 gathers = 14 gathers, vs 13
-rounds x 2 = 26 through the single-step table.
+Layout: per 128-position bin ONE [128]-lane i32 row (512 B) — lanes 0..47
+hold the 48 shift-packed pair-code occurrence checkpoints, lanes 48..71
+hold the 6 bit-planes x 16 qwords of the in-bin 6-bit pair codes packed
+FOUR per lane (big-index gathers are BANDWIDTH-bound — measured 52 GB/s on
+1 KB rows — so halving row bytes buys throughput directly). A pair rank is
+ONE row gather + bytewise XNOR/AND/popcount over 6 planes. The shift
+packing makes the odd-tail SINGLE-symbol rank free: matching only planes
+3..5 counts positions with ``BWT[i] = s`` for any previous symbol. A
+21-mer with a cache_k=8 seed costs 7 rounds x 2 gathers = 14 gathers, vs
+13 rounds x 2 = 26 through the single-step table.
 
-The pair stream needs LF for every position: LF is the inverse of the
-stable sort permutation of the BWT (LF(i) = rank of i when positions are
-stably ordered by symbol), built with one argsort + inverse scatter at
-index-build time.
+The pair stream needs LF for every position, computed positionally from
+the occ checkpoints (no n-element sort; see ``_build_pair_stream``).
 
 This is a pure QUERY-side structure: on-disk bytes and all other behavior
 are untouched (reference hot loop being accelerated: src/rle_bwt.rs:202-287,
@@ -59,7 +58,7 @@ _PAD_PAIR = 63      # never matches a real code (real max = 0b101101 = 45)
 class PairIndex(NamedTuple):
     """Device 2-step rank index."""
 
-    table2: jax.Array   # i32 [NB, 256]: occ lanes 0..47; planes at 64..159
+    table2: jax.Array   # i32 [NB, 128]: occ lanes 0..47; packed planes 48..71
     starts: jax.Array   # i32 [VC_LEN + 1] C array
     dmat: jax.Array     # i32 [VC_LEN * VC_LEN]: D[s1*6 + s2] constants
     n: int
@@ -117,7 +116,12 @@ _PAIR_W = _pair_weights()
 
 @jax.jit
 def _build_pair_table(ps):
-    """[NB, 256] rows: pair occ checkpoints + 6 bit-planes of qwords."""
+    """[NB, 128] rows (512 B — the gather is BANDWIDTH-bound at this table
+    size, so row bytes are the cost): lanes 0..47 = pair occ checkpoints;
+    lanes 48..71 = the 6 bit-planes' qwords packed FOUR per i32 lane
+    (plane p, lane 48+4p+l holds qwords 4l..4l+3 in bytes 0..3 — qword
+    values are <= 255, and the XNOR/AND/popcount decode works bytewise on
+    the packed words)."""
     npad = ps.shape[0]
     NB = npad // BIN
     bins = ps.reshape(NB, BIN)
@@ -131,16 +135,22 @@ def _build_pair_table(ps):
     for p in range(6):
         bits = ((bins >> p) & 1).astype(jnp.bfloat16)
         acc = acc + jnp.dot(bits, wq[p], preferred_element_type=jnp.float32)
-    planes = acc.astype(jnp.int32)  # lanes 0..95 used (6 planes x 16 qwords)
-    row = jnp.zeros((NB, 256), jnp.int32)
+    planes = acc.astype(jnp.int32)  # matmul lanes: plane p qword j at 16p+j
+    packed = (
+        planes[:, 0::4]
+        | (planes[:, 1::4] << 8)
+        | (planes[:, 2::4] << 16)
+        | (planes[:, 3::4] << 24)
+    )[:, :24]  # plane p lane l at 4p+l
+    row = jnp.zeros((NB, 128), jnp.int32)
     row = row.at[:, :PAIR_LANES].set(occ2)
-    row = row.at[:, 64:192].set(planes)
+    row = row.at[:, 48:72].set(packed)
     return row
 
 
 def build_pair_index(index: OccIndex) -> PairIndex:
     """Derive the 2-step index from the standard occ index (one-time cost:
-    an argsort + inverse scatter + one table pass)."""
+    the occ-checkpoint LF pass + one table pass — 0.1 s per 10M symbols)."""
     ps = _build_pair_stream(index.bwt, index.occ, index.starts, n=index.n)
     table2 = _build_pair_table(ps)
     # D[s1][s2] = occurrences of s1 strictly before C[s2]: occ checkpoint of
@@ -164,7 +174,7 @@ def build_pair_index(index: OccIndex) -> PairIndex:
 
 
 def _rows_of(table2, pos):
-    """The one gather per rank: [B] positions -> [B, 256] bin rows."""
+    """The one gather per rank: [B] positions -> [B, 128] bin rows."""
     return jnp.take(table2, pos // BIN, axis=0)
 
 
@@ -189,16 +199,22 @@ def _decode_rank(row, pos, code, n_planes):
         )
         code = code << 3  # align the symbol bits with planes 3..5
         planes = range(3, 6)
-    match = jnp.full((B, 16), -1, jnp.int32)
+    # packed decode: 4 qwords per i32 lane; the XNOR/AND trick is bytewise-
+    # safe because sp is 0x00000000 or 0xFFFFFFFF (all bytes identical)
+    match = jnp.full((B, 4), -1, jnp.int32)
     for p in planes:
-        words = row[:, 64 + 16 * p : 80 + 16 * p]
+        words = row[:, 48 + 4 * p : 52 + 4 * p]
         sp = -((code >> p) & 1)
         match = match & ~(words ^ sp[:, None])
-    match = match & 0xFF
-    q8 = jnp.arange(16, dtype=jnp.int32)[None, :] * 8
     b = pos // BIN
-    sh = jnp.clip((pos - b * BIN)[:, None] - q8, 0, 8)
-    pmask = (jnp.int32(1) << sh) - 1
+    r = (pos - b * BIN)[:, None]
+    lane4 = jnp.arange(4, dtype=jnp.int32)[None, :]
+    # per-byte prefix masks, assembled into one i32 per lane: byte b of
+    # lane l covers qword 4l+b = positions 32l+8b .. +7
+    pmask = jnp.zeros((B, 4), jnp.int32)
+    for byte in range(4):
+        sh = jnp.clip(r - (32 * lane4 + 8 * byte), 0, 8)
+        pmask = pmask | (((jnp.int32(1) << sh) - 1) << (8 * byte))
     local = jnp.sum(
         jax.lax.population_count(match & pmask), axis=1, dtype=jnp.int32
     )
