@@ -160,7 +160,11 @@ def main():
 
     # baseline build throughput on the same 10k-read config
     t0 = time.perf_counter()
-    base_dec = baseline_build_native(list(reads), sorted_insert=True)
+    # slice rows to true lengths — padded tails would corrupt the baseline
+    base_dec = baseline_build_native(
+        [reads[i, : lengths[i]] for i in range(reads.shape[0])],
+        sorted_insert=True,
+    )
     base_build_s = time.perf_counter() - t0
     base_build_mbases = (
         n_bases / base_build_s / 1e6 if base_dec is not None else None

@@ -321,6 +321,17 @@ class BPlusTree {
           b.runs.insert(b.runs.begin() + k, (uint32_t(1) << 3) | sym);
           return acc;
         }
+        if (off == cnt) {
+          // boundary at the run's END: extend the next run if it matches,
+          // else insert a single run — never a zero-count remainder
+          if (k + 1 < b.runs.size() &&
+              int(b.runs[k + 1] & LETTER_MASK) == sym) {
+            b.runs[k + 1] += uint32_t(1) << 3;
+            return acc;
+          }
+          b.runs.insert(b.runs.begin() + k + 1, (uint32_t(1) << 3) | sym);
+          return acc;
+        }
         // split the run: [off] [new sym] [cnt-off]
         b.runs[k] = (uint32_t(off) << 3) | rs;
         b.runs.insert(b.runs.begin() + k + 1, (uint32_t(1) << 3) | sym);

@@ -157,8 +157,15 @@ def _build_multiprocess(reads, lengths, mesh) -> np.ndarray:
     # local per-device chunks (sorted locally — merge canonicalizes order)
     reads, lengths = sort_reads(reads, lengths)
     N = reads.shape[0]
-    # every process must use the SAME per-device row count
-    Nl = int(np.max(np.ceil(geom[:, 0] / n_local_dev)).astype(int))
+    # every process must use the SAME per-device row count; processes may
+    # own different numbers of local devices, so divide each process's
+    # record count by ITS device count (derivable from the mesh, no comm)
+    proc_ids = np.asarray([dv.process_index for dv in mesh.devices.flat])
+    dev_per_proc = np.bincount(proc_ids, minlength=jax.process_count())
+    Nl = int(max(
+        -(-int(geom[p, 0]) // int(dev_per_proc[p]))
+        for p in range(jax.process_count())
+    ))
     pad = n_local_dev * Nl - N
     if pad:
         reads = np.vstack([reads, np.zeros((pad, L), np.uint8)])

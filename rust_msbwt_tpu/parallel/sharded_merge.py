@@ -178,6 +178,8 @@ def _exchange_sim(operand, out, in_off, send_sz, out_off, recv_sz, *, d):
     the program semantics are the ragged ones."""
     out_len = out.shape[0]
     B = operand.shape[0]
+    # scatter indices span [0, d*out_len] — widen past 2^31 merged symbols
+    idx_dtype = jnp.int64 if d * out_len >= 2**31 else jnp.int32
     k = jnp.arange(B, dtype=jnp.int32)
     # destination peer of element k: chunks are consecutive ascending
     peer = jnp.sum((k[:, None] >= (in_off + send_sz)[None, :]), axis=1,
@@ -185,8 +187,9 @@ def _exchange_sim(operand, out, in_off, send_sz, out_off, recv_sz, *, d):
     peer_c = jnp.clip(peer, 0, d - 1)
     within = k - in_off[peer_c]
     valid = (peer < d) & (within < send_sz[peer_c])
-    gpos = peer_c * out_len + out_off[peer_c] + within
-    big = d * out_len
+    gpos = (peer_c.astype(idx_dtype) * out_len
+            + (out_off[peer_c] + within).astype(idx_dtype))
+    big = jnp.asarray(d * out_len, idx_dtype)
     routed = (
         jnp.zeros(d * out_len, operand.dtype)
         .at[jnp.where(valid, gpos, big)]
@@ -216,6 +219,14 @@ def _sharded_merge_ragged_impl(parts, lens, *, n, blk, d, bmax, mesh, native,
     big = jnp.asarray(d * blk, pos_dtype)
 
     def exchange(operand, out, in_off, send_sz, out_off, recv_sz):
+        # the native primitive requires matching operand/output dtypes; keep
+        # the simulation to the same contract so CPU tests catch mismatches
+        # (wide mode once paired an int64 operand with an int32 out buffer)
+        if operand.dtype != out.dtype:
+            raise TypeError(
+                f"ragged exchange dtype mismatch: operand {operand.dtype} "
+                f"vs out {out.dtype}"
+            )
         if native:
             return _exchange_native(operand, out, in_off, send_sz, out_off,
                                     recv_sz)
@@ -307,7 +318,7 @@ def _sharded_merge_ragged_impl(parts, lens, *, n, blk, d, bmax, mesh, native,
                 jnp.cumsum(S, axis=0, dtype=jnp.int32) - S, me, axis=0
             )
             recv_sz = S[:, me]
-            tgt_r = exchange(tgt_s, jnp.full(blk, big, jnp.int32),
+            tgt_r = exchange(tgt_s, jnp.full(blk, big, pos_dtype),
                              in_off, send_sz, out_off, recv_sz)
             val_r = exchange(val_s, jnp.full(blk, jnp.int32(_PAD_SRC)),
                              in_off, send_sz, out_off, recv_sz)
@@ -350,8 +361,13 @@ def sharded_hm_merge(
     * ``"dense"``  — all_gather/psum formulation (O(n)/device/round)
     * ``"ragged"`` — ragged-all-to-all formulation (O(n/D)/device/round on
       TPU; exact dense *simulation* of the primitive on CPU meshes)
-    * ``"auto"``   — ragged on TPU backends, dense on CPU
+    * ``"auto"``   — dense everywhere for now: the native
+      ``ragged_all_to_all`` lowering has only been validated on a 1-device
+      TPU mesh (no multi-chip hardware in this environment), so the scalable
+      transport stays an explicit opt-in — pass ``transport="ragged"`` or set
+      ``MSBWT_TPU_RAGGED=1`` — until a real pod run validates it.
     """
+    import os
     if mesh is None:
         mesh = default_mesh()
     d = mesh.devices.size
@@ -372,7 +388,10 @@ def sharded_hm_merge(
     wide = force_wide or n >= 2**31
     backend = jax.default_backend()
     if transport == "auto":
-        transport = "ragged" if backend in ("tpu", "axon") else "dense"
+        opt_in = os.environ.get("MSBWT_TPU_RAGGED", "") == "1"
+        transport = (
+            "ragged" if opt_in and backend in ("tpu", "axon") else "dense"
+        )
     with jax.enable_x64(wide):
         if transport == "dense":
             out = _sharded_merge_impl(
