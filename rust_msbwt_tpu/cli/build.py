@@ -107,8 +107,7 @@ def main(argv=None) -> int:
             if not is_zero:  # only process 0 writes output
                 logger.info("Non-zero process finished; skipping output.")
                 return 0
-            bwt = DynamicBWT()
-            bwt._base = decoded
+            bwt = DynamicBWT.from_decoded(decoded)
         elif args.batch_size > 0:
             from rust_msbwt_tpu.models.dynamic import create_from_fastx_streaming
 

@@ -58,6 +58,22 @@ class DynamicBWT(BWTBase):
         self._host_cache: dict | None = None
         # longest read in _base; None == unknown (recovered lazily by LF walk)
         self._max_read_len: int | None = 0
+        # k-mer prefix cache: rebuilt lazily after mutations once enabled
+        self._kmer_cache = None
+        self._cache_k = 0
+
+    @classmethod
+    def from_decoded(cls, decoded: np.ndarray) -> "DynamicBWT":
+        """Wrap an already-constructed decoded BWT (e.g. the output of a
+        distributed build). The max read length is unknown, so a later
+        ``insert_string`` recovers it by LF walk — unlike poking ``_base``
+        directly, which would leave the stale ``_max_read_len = 0`` and
+        compute wrong terminator positions on extension."""
+        bwt = cls()
+        bwt._base = np.asarray(decoded, dtype=np.uint8)
+        bwt._max_read_len = None
+        bwt._invalidate()
+        return bwt
 
     # --- insertion (ref: src/dynamic_bwt.rs:305-381) ---
 
@@ -89,6 +105,9 @@ class DynamicBWT(BWTBase):
         self._packed_cache = None
         self._host_cache = None
         self._pair_cache = None
+        # keep _cache_k: the cache is rebuilt lazily at the next query so
+        # build-then-query sessions keep the speedup across extensions
+        self._kmer_cache = None
 
     def _materialize(self) -> None:
         if not self._pending:
@@ -118,12 +137,32 @@ class DynamicBWT(BWTBase):
                 self._max_read_len = batch_max
             else:
                 self._max_read_len = max(self._max_read_len, batch_max)
-            logger.info(
-                "Materialized batch: %d strings (%s), BWT size %d",
-                len(batch),
-                "lexicographical" if flag else "chronological",
-                self._base.size,
-            )
+            # construction telemetry, mirroring the reference's every-10k
+            # progress line (ref: src/dynamic_bwt.rs:377-380). The batched
+            # engine has no adaptive sort probe — positions are resolved
+            # exactly for the whole batch — so Short-k reports the effective
+            # full-compare length (batch max read length), pass/dup count
+            # exact/duplicate reads within the batch, and fail is always 0.
+            if logger.isEnabledFor(logging.INFO):
+                dup = 0
+                if flag and reads.size:
+                    keyed = np.ascontiguousarray(reads).view(
+                        [("", reads.dtype)] * reads.shape[1]
+                    ).reshape(-1)
+                    dup = len(batch) - int(np.unique(keyed).size)
+                self._n_strings = getattr(self, "_n_strings", 0) + len(batch)
+                logger.info(
+                    "Strings: %d\tShort-k: %.2f\t[pass, dup, fail]: "
+                    "[%d, %d, 0]\tHeight, nodes: %d %d\t(%s batch, "
+                    "BWT size %d)",
+                    self._n_strings, float(batch_max),
+                    len(batch) - dup, dup,
+                    2 if self._base.size else 0,
+                    int(runs_from_symbols(self._base)[0].size)
+                    if logger.isEnabledFor(logging.DEBUG) else -1,
+                    "lexicographical" if flag else "chronological",
+                    self._base.size,
+                )
         self._pending.clear()
 
     # --- loading (ref: src/dynamic_bwt.rs:73-207) ---
@@ -245,11 +284,29 @@ class DynamicBWT(BWTBase):
             self._packed_cache = pack_index(self.device_index)
         return self._packed_cache
 
+    def enable_kmer_cache(self, cache_k: int = 8) -> None:
+        """Precompute ranges of all length-``cache_k`` strings so batched
+        queries skip their first ``cache_k`` LF steps — same speedup as
+        ``RleBWT.enable_kmer_cache`` (~2.6x at cache_k=8). The cache is
+        rebuilt lazily after any mutation (insert/load)."""
+        self._cache_k = cache_k
+        self._kmer_cache = None
+        self._ensure_kmer_cache()
+
+    def _ensure_kmer_cache(self):
+        if self._cache_k and self._kmer_cache is None:
+            idx = self.device_index
+            self._kmer_cache = rank_ops.build_kmer_cache(
+                idx.bwt, idx.occ, idx.starts, idx.n, self._cache_k
+            )
+        return self._kmer_cache
+
     def count_kmers(self, kmers, lengths=None) -> np.ndarray:
         import os
 
         from rust_msbwt_tpu.models.rle_bwt import RleBWT
 
+        cache = self._ensure_kmer_cache()
         if (
             self.get_total_size() >= RleBWT.PAIR_AUTO_MIN_SYMBOLS
             and not os.environ.get("MSBWT_TPU_NO_PAIR")
@@ -262,10 +319,16 @@ class DynamicBWT(BWTBase):
                 self._pair_cache = build_pair_index(self.device_index)
             from rust_msbwt_tpu.ops.pair_rank import count_kmers_pair
 
-            return count_kmers_pair(self._pair_cache, kmers, lengths)
+            return count_kmers_pair(
+                self._pair_cache, kmers, lengths,
+                cache=cache, cache_k=self._cache_k if cache is not None else 0,
+            )
         from rust_msbwt_tpu.ops.packed_rank import count_kmers_packed
 
-        return count_kmers_packed(self.packed_index, kmers, lengths)
+        return count_kmers_packed(
+            self.packed_index, kmers, lengths,
+            cache=cache, cache_k=self._cache_k if cache is not None else 0,
+        )
 
 
 def create_from_fastx(filenames, sorted: bool = True) -> DynamicBWT:
@@ -324,11 +387,10 @@ def create_from_fastx_streaming(
                 "Processed %d strings (batch of %d)",
                 builder.string_count, reads.shape[0],
             )
-    bwt = DynamicBWT()
     if builder.string_count:
-        bwt._base = builder.finish()
-        bwt._max_read_len = None  # recovered by LF walk if extended further
-        bwt._invalidate()
+        bwt = DynamicBWT.from_decoded(builder.finish())
+    else:
+        bwt = DynamicBWT()
     logger.info(
         "Finished creating BWT, symbol counts: %s",
         bwt.get_symbol_counts().tolist(),

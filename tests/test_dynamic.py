@@ -156,3 +156,49 @@ def test_telemetry_analogues():
     b.insert_string("ACCC", True)
     assert b.get_height() == 2
     assert b.get_node_count() == 4  # C $ CC A -> 4 runs
+
+
+def test_from_decoded_then_extend():
+    """Regression for the --distributed CLI construction: wrapping a decoded
+    BWT must leave _max_read_len unknown so a later insert recovers the true
+    rotation bound by LF walk (a stale 0 computed wrong terminator ranks)."""
+    data = ["CCGTACGTA", "GGTACAGTA", "ACGACGACG"]
+    decoded = convert_stoi(naive_bwt(data))
+    b = DynamicBWT.from_decoded(decoded)
+    assert b.to_vec().tolist() == decoded.tolist()
+    b.insert_string("AAGTCATAT", True)
+    data.append("AAGTCATAT")
+    assert b.to_vec().tolist() == convert_stoi(naive_bwt(data)).tolist()
+
+
+def test_dynamic_kmer_cache_parity():
+    """DynamicBWT.enable_kmer_cache must equal the uncached path and the
+    RleBWT cache, and must survive (lazily rebuild across) a mutation."""
+    import numpy as np
+
+    from rust_msbwt_tpu.models.rle_bwt import RleBWT
+
+    rng = np.random.default_rng(7)
+    data = ["".join(rng.choice(list("ACGT"), size=20)) for _ in range(40)]
+    b = DynamicBWT()
+    b.insert_strings(data, True)
+    kmers = np.stack([convert_stoi(s[:8]) for s in data[:25]])
+    plain = b.count_kmers(kmers)
+    b.enable_kmer_cache(cache_k=4)
+    cached = b.count_kmers(kmers)
+    assert plain.tolist() == cached.tolist()
+
+    from rust_msbwt_tpu.ops.rle import bytes_from_runs, runs_from_symbols
+
+    r = RleBWT()
+    r.load_vector(bytes_from_runs(*runs_from_symbols(b.to_vec())))
+    r.enable_kmer_cache(cache_k=4)
+    assert r.count_kmers(kmers).tolist() == cached.tolist()
+
+    # mutate: the cache must be rebuilt for the NEW index, not served stale
+    b.insert_string("TTTTGGGGCCCCAAAATTTT", True)
+    data.append("TTTTGGGGCCCCAAAATTTT")
+    after = b.count_kmers(kmers)
+    fresh = DynamicBWT()
+    fresh.insert_strings(data, True)
+    assert after.tolist() == fresh.count_kmers(kmers).tolist()
