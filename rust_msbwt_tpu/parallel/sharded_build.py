@@ -70,7 +70,7 @@ BIG_PAD = 1024  # safely out-of-bounds offset for padding rows' q1
 
 def build_msbwt_sharded(
     reads: np.ndarray, lengths: np.ndarray, mesh: Mesh | None = None,
-    merge: str = "tree", force_wide: bool = False,
+    merge: str = "tree", force_wide: bool = False, transport: str = "auto",
 ) -> np.ndarray:
     """Sorted MSBWT of a read collection, built data-parallel over the mesh.
 
@@ -113,5 +113,7 @@ def build_msbwt_sharded(
     if merge == "sharded":
         from rust_msbwt_tpu.parallel.sharded_merge import sharded_hm_merge
 
-        return sharded_hm_merge(parts, mesh=mesh, force_wide=force_wide)
+        return sharded_hm_merge(
+            parts, mesh=mesh, force_wide=force_wide, transport=transport
+        )
     return kway_merge(parts, force_wide=force_wide)

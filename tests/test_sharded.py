@@ -228,3 +228,42 @@ def test_multihost_single_process_path():
     got = build_msbwt_multihost(reads, lens)
     want = build_msbwt(reads, lens)
     assert np.array_equal(got, want)
+
+
+def test_wide_composition_end_to_end(mesh, rng, tmp_path):
+    """The full >2^31 ("chr21-shaped") composition as ONE flow at small
+    scale: reads -> D-way sharded build -> wide (int64) ragged D-way merge
+    -> sharded npy export -> reload -> wide sharded-index queries vs oracle.
+    The pieces are separately tested elsewhere; this pins the composition
+    (ref u64-counts contract: src/msbwt_core.rs:124)."""
+    from rust_msbwt_tpu.utils.checkpoint import load_sharded, save_sharded
+
+    data = _random_reads(rng, 120)
+    want = convert_stoi(naive_bwt(data))
+
+    reads, lengths = encode_reads([convert_stoi(s) for s in data])
+    merged = build_msbwt_sharded(
+        reads, lengths, mesh, merge="sharded", force_wide=True,
+        transport="ragged",
+    )
+    assert np.array_equal(merged, want)
+
+    out = tmp_path / "wide_ckpt"
+    save_sharded(merged, str(out), n_shards=4)
+    reloaded = load_sharded(str(out))
+    assert np.array_equal(reloaded, want)
+
+    # query the reloaded BWT through the wide (int64) sharded index
+    idx = build_sharded_index(reloaded, mesh, force_wide=True)
+    queries = [s[:5] for s in data[:20]]
+    kmers = np.zeros((len(queries), 5), np.uint8)
+    qlens = np.zeros(len(queries), np.int32)
+    for i, q in enumerate(queries):
+        enc = convert_stoi(q)
+        kmers[i, : enc.size] = enc
+        qlens[i] = enc.size
+    got = count_kmers_sharded(idx, kmers, qlens)
+    for i, q in enumerate(queries):
+        # oracle: occurrences of q as a substring of the records
+        cnt = sum(s.count(q) for s in [r + "$" for r in data])
+        assert got[i] == cnt, (q, got[i], cnt)
