@@ -52,12 +52,15 @@ class DynamicBWT(BWTBase):
     """
 
     def __init__(self):
-        self._base = np.zeros(0, dtype=np.uint8)  # decoded, materialized BWT
+        # decoded, materialized BWT — host np after loads, may stay a DEVICE
+        # array after TPU builds (converted lazily by _base_host)
+        self._base = np.zeros(0, dtype=np.uint8)
         self._pending: list[tuple[np.ndarray, bool]] = []  # (read, sorted_flag)
         self._occ_cache: rank_ops.OccIndex | None = None
         self._host_cache: dict | None = None
         # longest read in _base; None == unknown (recovered lazily by LF walk)
         self._max_read_len: int | None = 0
+        self._base_strings = 0  # '$' count of _base (tracked, no host pass)
         # k-mer prefix cache: rebuilt lazily after mutations once enabled
         self._kmer_cache = None
         self._cache_k = 0
@@ -72,8 +75,15 @@ class DynamicBWT(BWTBase):
         bwt = cls()
         bwt._base = np.asarray(decoded, dtype=np.uint8)
         bwt._max_read_len = None
+        bwt._base_strings = int(np.count_nonzero(bwt._base == 0))
         bwt._invalidate()
         return bwt
+
+    def _base_host(self) -> np.ndarray:
+        """The materialized BWT as a host array (one conversion, cached)."""
+        if not isinstance(self._base, np.ndarray):
+            self._base = np.asarray(self._base)
+        return self._base
 
     # --- insertion (ref: src/dynamic_bwt.rs:305-381) ---
 
@@ -121,17 +131,28 @@ class DynamicBWT(BWTBase):
                 groups.append((flag, [arr]))
         for flag, batch in groups:
             reads, lengths = bcr.encode_reads(batch)
-            base_strings = int(np.count_nonzero(self._base == 0))
-            self._base = bcr.build_msbwt(
-                reads,
-                lengths,
-                sorted_insert=flag,
-                base=self._base,
-                base_string_count=base_strings,
-                base_rot_max=(self._max_read_len + 1)
-                if self._max_read_len is not None
-                else None,
+            base_strings = self._base_strings
+            rot_max = (
+                (self._max_read_len + 1)
+                if self._max_read_len is not None else None
             )
+            if bcr.default_engine() == "pallas":
+                # fused path: the build's device state already carries the
+                # packed rank table — keep the BWT AND both query indexes on
+                # device (no decoded host round-trip, no index rebuild)
+                idx, packed = bcr.build_msbwt_with_index(
+                    reads, lengths, sorted_insert=flag, base=self._base,
+                    base_string_count=base_strings, base_rot_max=rot_max,
+                )
+                self._base = idx.bwt[: idx.n]
+                self._occ_cache = idx
+                self._packed_cache = packed
+            else:
+                self._base = bcr.build_msbwt(
+                    reads, lengths, sorted_insert=flag, base=self._base,
+                    base_string_count=base_strings, base_rot_max=rot_max,
+                )
+            self._base_strings = base_strings + len(batch)
             batch_max = int(lengths.max()) if lengths.size else 0
             if self._max_read_len is None:
                 self._max_read_len = batch_max
@@ -173,6 +194,7 @@ class DynamicBWT(BWTBase):
         self._base = decode_symbols(np.asarray(bwt, dtype=np.uint8))
         self._pending.clear()
         self._max_read_len = None  # unknown; recovered by LF walk if extended
+        self._base_strings = int(np.count_nonzero(self._base == 0))
         self._invalidate()
         logger.info(
             "Loaded BWT with symbol counts: %s", self.get_symbol_counts().tolist()
@@ -186,16 +208,16 @@ class DynamicBWT(BWTBase):
     def to_vec(self) -> np.ndarray:
         """Decoded BWT, one symbol per entry (ref: src/dynamic_bwt.rs:393-395)."""
         self._materialize()
-        return self._base.copy()
+        return self._base_host().copy()
 
     def iter(self) -> Iterator[int]:
         self._materialize()
-        return iter(self._base.tolist())
+        return iter(self._base_host().tolist())
 
     def run_iter(self) -> Iterator[tuple[int, int]]:
         """Maximal runs as (symbol, count) (ref: src/dynamic_bwt.rs:417-430)."""
         self._materialize()
-        syms, counts = runs_from_symbols(self._base)
+        syms, counts = runs_from_symbols(self._base_host())
         return zip(syms.tolist(), counts.tolist())
 
     # --- queries ---
@@ -203,12 +225,13 @@ class DynamicBWT(BWTBase):
     def _host(self) -> dict:
         self._materialize()
         if self._host_cache is None:
-            n = self._base.size
-            counts = np.bincount(self._base, minlength=VC_LEN)[:VC_LEN]
+            base = self._base_host()
+            n = base.size
+            counts = np.bincount(base, minlength=VC_LEN)[:VC_LEN]
             csum = np.cumsum(counts)
             nb = max(1, -(-n // rank_ops.BIN))
             padded = np.full(nb * rank_ops.BIN, 7, dtype=np.uint8)
-            padded[:n] = self._base
+            padded[:n] = base
             per_bin = (
                 padded.reshape(nb, rank_ops.BIN)[:, :, None]
                 == np.arange(VC_LEN, dtype=np.uint8)[None, None, :]
@@ -229,12 +252,20 @@ class DynamicBWT(BWTBase):
             self._occ_cache = rank_ops.build_occ_index(self._base)
         return self._occ_cache
 
+    def _counts(self) -> np.ndarray:
+        """Symbol totals without forcing a host copy of the whole BWT: use
+        the device index's terminal occ row when it is already built."""
+        self._materialize()
+        if self._host_cache is None and self._occ_cache is not None:
+            return np.asarray(self._occ_cache.counts).astype(np.uint64)
+        return self._host()["counts"]
+
     def get_symbol_counts(self) -> np.ndarray:
         """All six symbol totals (ref: src/dynamic_bwt.rs:273-277)."""
-        return self._host()["counts"].copy()
+        return self._counts().copy()
 
     def get_symbol_count(self, symbol: int) -> int:
-        return int(self._host()["counts"][symbol])
+        return int(self._counts()[symbol])
 
     def get_total_size(self) -> int:
         self._materialize()
@@ -254,7 +285,7 @@ class DynamicBWT(BWTBase):
         """Storage-node telemetry: number of maximal runs (the analogue of
         the reference's tree node count, ref: src/dynamic_bwt.rs:285-289)."""
         self._materialize()
-        syms, _ = runs_from_symbols(self._base)
+        syms, _ = runs_from_symbols(self._base_host())
         return int(syms.size)
 
     def _rank(self, sym: int, pos: int) -> int:

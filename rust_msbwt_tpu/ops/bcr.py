@@ -36,6 +36,7 @@ short-circuit was saving).
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -111,27 +112,11 @@ def reads_to_cols(reads: np.ndarray, lengths: np.ndarray) -> np.ndarray:
     return cols
 
 
-def build_msbwt(
-    reads: np.ndarray,
-    lengths: np.ndarray,
-    sorted_insert: bool = True,
-    base: np.ndarray | None = None,
-    base_string_count: int = 0,
-    base_rot_max: int | None = None,
-    engine: str | None = None,
-    device_out: bool = False,
-) -> np.ndarray:
-    """Construct (or extend) an MSBWT. Returns the decoded BWT (uint8 [n]).
-
-    * ``sorted_insert=True``  == reference ``insert_string(s, true)`` batch
-    * ``sorted_insert=False`` == chronological insertion (terminators in
-      arrival order, ref: src/dynamic_bwt.rs:350-351)
-    * ``base``                == decoded BWT to extend (load-and-add flow)
-    * ``engine``              == stage-rebuild engine: "pallas" (TPU merge
-      kernel), "xla" (flat scatter), or None for backend-based auto-pick.
-    * ``device_out``          == return the device array (skip the
-      device->host copy; useful when an index is built next).
-    """
+def _prepare_build(reads, lengths, sorted_insert, base, base_string_count,
+                   base_rot_max, engine):
+    """Shared host prep for the build entry points: validation, read sort,
+    stage-view construction, terminator slots, engine pick. Returns a dict of
+    everything the device drivers need (or ``None`` if there is no work)."""
     from rust_msbwt_tpu.utils.checks import validate_bwt, validate_reads
 
     reads = np.asarray(reads, dtype=np.uint8)
@@ -147,7 +132,7 @@ def build_msbwt(
     # else: device-resident base (streaming extend) — stays on device
     n0 = int(base.shape[0])
     if N == 0:
-        return base if device_out else np.asarray(base)
+        return None, base
 
     host_cols = None
     if sorted_insert:
@@ -189,7 +174,6 @@ def build_msbwt(
         base_counts = _device_counts(base)
     else:
         base_counts = jnp.zeros(VC_LEN, jnp.int32)
-    n_strings_total = base_string_count + N
 
     if engine is None:
         engine = default_engine()
@@ -200,29 +184,56 @@ def build_msbwt(
     else:
         cols_on_device = bool(np.all(lengths == L))
         host_view = reads if cols_on_device else reads_to_cols(reads, lengths)
-    if engine == "pallas" and n_cap >= _BUCKET_MIN_SYMBOLS and L >= 8:
+    return {
+        "base": base, "q1": q1, "host_view": host_view, "lengths": lengths,
+        "base_counts": base_counts, "n0": n0, "n_cap": n_cap, "L": L, "N": N,
+        "n_strings_total": base_string_count + N, "engine": engine,
+        "interpret": interpret, "cols_on_device": cols_on_device,
+    }, base
+
+
+def build_msbwt(
+    reads: np.ndarray,
+    lengths: np.ndarray,
+    sorted_insert: bool = True,
+    base: np.ndarray | None = None,
+    base_string_count: int = 0,
+    base_rot_max: int | None = None,
+    engine: str | None = None,
+    device_out: bool = False,
+) -> np.ndarray:
+    """Construct (or extend) an MSBWT. Returns the decoded BWT (uint8 [n]).
+
+    * ``sorted_insert=True``  == reference ``insert_string(s, true)`` batch
+    * ``sorted_insert=False`` == chronological insertion (terminators in
+      arrival order, ref: src/dynamic_bwt.rs:350-351)
+    * ``base``                == decoded BWT to extend (load-and-add flow)
+    * ``engine``              == stage-rebuild engine: "pallas" (TPU merge
+      kernel), "xla" (flat scatter), or None for backend-based auto-pick.
+    * ``device_out``          == return the device array (skip the
+      device->host copy; useful when an index is built next).
+    """
+    p, base = _prepare_build(reads, lengths, sorted_insert, base,
+                             base_string_count, base_rot_max, engine)
+    if p is None:
+        return base if device_out else np.asarray(base)
+    if (p["engine"] == "pallas" and p["n_cap"] >= _BUCKET_MIN_SYMBOLS
+            and p["L"] >= 8):
         # large build: bucketed capacity growth (see bucket_schedule)
         out = _bcr_insert_bucketed(
-            base, jnp.asarray(q1), jnp.asarray(host_view),
-            jnp.asarray(lengths), base_counts,
-            n0=n0, n_cap=n_cap, L=L, N=N,
-            n_strings_total=n_strings_total, interpret=interpret,
-            cols_on_device=cols_on_device,
+            p["base"], jnp.asarray(p["q1"]), jnp.asarray(p["host_view"]),
+            jnp.asarray(p["lengths"]), p["base_counts"],
+            n0=p["n0"], n_cap=p["n_cap"], L=p["L"], N=p["N"],
+            n_strings_total=p["n_strings_total"], interpret=p["interpret"],
+            cols_on_device=p["cols_on_device"],
         )
     else:
         out = _bcr_insert(
-            base,
-            jnp.asarray(q1),
-            jnp.asarray(host_view),
-            jnp.asarray(lengths),
-            base_counts,
-            n0=n0,
-            n_cap=n_cap,
-            L=L,
-            n_strings_total=n_strings_total,
-            engine=engine,
-            interpret=interpret,
-            cols_on_device=cols_on_device,
+            p["base"], jnp.asarray(p["q1"]), jnp.asarray(p["host_view"]),
+            jnp.asarray(p["lengths"]), p["base_counts"],
+            n0=p["n0"], n_cap=p["n_cap"], L=p["L"],
+            n_strings_total=p["n_strings_total"], engine=p["engine"],
+            interpret=p["interpret"], cols_on_device=p["cols_on_device"],
         )
     return out if device_out else np.asarray(out)
 
@@ -591,7 +602,7 @@ def bucket_schedule(n0: int, N: int, L: int, n_cap: int,
 
 def _bcr_insert_bucketed(base, q1, reads_cols, lengths, base_counts, *, n0,
                          n_cap, L, N, n_strings_total, interpret,
-                         cols_on_device):
+                         cols_on_device, return_carry=False):
     from rust_msbwt_tpu.ops import pallas_merge as pm
 
     buckets = bucket_schedule(n0, N, L, n_cap, pm.CHUNK)
@@ -613,7 +624,139 @@ def _bcr_insert_bucketed(base, q1, reads_cols, lengths, base_counts, *, n0,
             *carry, reads_cols, lengths, nst,
             jnp.int32(ja), jnp.int32(jb), interpret=interpret,
         )
+    if return_carry:
+        return carry
     return _from_phys_jit(carry[0], n_cap=n_cap)
+
+
+# ---------------------------------------------------------------------------
+# fused index derivation: the merge kernel's final pass already emitted the
+# packed rank table for the finished BWT, so the query indexes fall out of
+# the build's device state with slicing + byte repacking only — no decoded
+# host round-trip, no one-hot occ rebuild (this replaces the load path the
+# reference runs after a build, ref: src/rle_bwt.rs:324-467 standard_init).
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def _derive_indexes_from_phys(phys, table_phys, counts, *, n):
+    """(phys buffer, fused phys table, [6] counts) -> device index parts.
+
+    Returns ``(bwt_padded u8 [NB*BIN], occ i32 [NB+1, 6], starts i32 [7],
+    ptab i32 [NB+1, 32])`` — exactly what ``rank.build_occ_index`` +
+    ``packed_rank.pack_index`` compute from decoded symbols, but read
+    straight off the build's fused table. Bit order is identical: fused
+    qword lane 32+16p+q holds positions 8q..8q+7 of plane p (bit m =
+    position 8q+m), so packed word j = qwords 4j..4j+3 assembled
+    little-endian covers positions 32j..32j+31 with bit k = position 32j+k.
+    """
+    from rust_msbwt_tpu.ops.pallas_merge import CHUNK, CS
+
+    NB = max(1, -(-n // BIN))
+    flat = phys.reshape(-1)
+    bwt = flat[CHUNK : CHUNK + NB * BIN].astype(jnp.uint8)
+    body = table_phys[CS : CS + NB]                      # [NB, 128]
+    occ = jnp.concatenate([body[:, :VC_LEN], counts[None, :]], axis=0)
+    starts = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(counts, dtype=jnp.int32)]
+    )
+    ptab = jnp.zeros((NB + 1, 32), jnp.int32)
+    ptab = ptab.at[:, :VC_LEN].set(occ)
+    for p in range(3):
+        q = body[:, 32 + 16 * p : 48 + 16 * p]           # [NB, 16] byte qwords
+        words = (
+            q[:, 0::4] | (q[:, 1::4] << 8) | (q[:, 2::4] << 16)
+            | (q[:, 3::4] << 24)
+        )
+        ptab = ptab.at[:NB, 8 + 4 * p : 12 + 4 * p].set(words)
+    return bwt, occ, starts, ptab
+
+
+def build_msbwt_with_index(
+    reads: np.ndarray,
+    lengths: np.ndarray,
+    sorted_insert: bool = True,
+    base: np.ndarray | None = None,
+    base_string_count: int = 0,
+    base_rot_max: int | None = None,
+    engine: str | None = None,
+):
+    """Construct an MSBWT and return its query indexes WITHOUT leaving the
+    device: ``(OccIndex, PackedOccIndex)``.
+
+    On the Pallas engine the packed rank table is the one the merge kernel
+    emitted during the final stage — deriving both indexes costs one
+    slicing/repacking pass (~ms) instead of the decoded-symbols round trip +
+    occ/pack rebuilds (~34 s at 505M symbols). The XLA engine (CPU tests)
+    rebuilds from the decoded output — identical results, pinned by tests.
+    """
+    from rust_msbwt_tpu.ops.packed_rank import PackedOccIndex, pack_index
+
+    p, base = _prepare_build(reads, lengths, sorted_insert, base,
+                             base_string_count, base_rot_max, engine)
+    if p is None:
+        idx = build_occ_index(base)
+        return idx, pack_index(idx)
+    if p["engine"] != "pallas":
+        out = _bcr_insert(
+            p["base"], jnp.asarray(p["q1"]), jnp.asarray(p["host_view"]),
+            jnp.asarray(p["lengths"]), p["base_counts"],
+            n0=p["n0"], n_cap=p["n_cap"], L=p["L"],
+            n_strings_total=p["n_strings_total"], engine=p["engine"],
+            interpret=p["interpret"], cols_on_device=p["cols_on_device"],
+        )
+        idx = build_occ_index(out, p["n_cap"])
+        return idx, pack_index(idx)
+    if p["n_cap"] >= _BUCKET_MIN_SYMBOLS and p["L"] >= 8:
+        carry = _bcr_insert_bucketed(
+            p["base"], jnp.asarray(p["q1"]), jnp.asarray(p["host_view"]),
+            jnp.asarray(p["lengths"]), p["base_counts"],
+            n0=p["n0"], n_cap=p["n_cap"], L=p["L"], N=p["N"],
+            n_strings_total=p["n_strings_total"], interpret=p["interpret"],
+            cols_on_device=p["cols_on_device"], return_carry=True,
+        )
+    else:
+        carry = _bcr_insert_pallas_carry(
+            p["base"], jnp.asarray(p["q1"]), jnp.asarray(p["host_view"]),
+            jnp.asarray(p["lengths"]), p["base_counts"],
+            n0=p["n0"], n_cap=p["n_cap"], L=p["L"],
+            n_strings_total=p["n_strings_total"], interpret=p["interpret"],
+            cols_on_device=p["cols_on_device"],
+        )
+    bwt, occ, starts, ptab = _derive_indexes_from_phys(
+        carry[0], carry[1], carry[3], n=p["n_cap"]
+    )
+    idx = OccIndex(bwt=bwt, occ=occ, starts=starts, n=p["n_cap"])
+    return idx, PackedOccIndex(table=ptab, starts=starts, n=p["n_cap"])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n0", "n_cap", "L", "n_strings_total", "interpret",
+                     "cols_on_device"),
+)
+def _bcr_insert_pallas_carry(base, q1, reads_cols, lengths, base_counts, *,
+                             n0, n_cap, L, n_strings_total, interpret,
+                             cols_on_device):
+    """Monolithic Pallas build returning the raw carry (phys buffer, fused
+    table, P, counts, prev_v, n_valid) for fused index derivation."""
+    if cols_on_device:
+        n_rows = reads_cols.shape[0]
+        zero = jnp.zeros((1, n_rows), jnp.uint8)
+        reads_cols = jnp.concatenate(
+            [zero, jnp.flip(reads_cols, axis=1).T, zero], axis=0
+        )
+    carry = _pallas_stage1(
+        base, q1, reads_cols, lengths, base_counts,
+        n0=n0, n_cap=n_cap, interpret=interpret,
+    )
+    return jax.lax.fori_loop(
+        2, L + 2,
+        lambda j, c: _pallas_stage_step(
+            j, c, reads_cols, lengths, n_strings_total, interpret
+        ),
+        carry,
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("n", "t_total"))

@@ -148,28 +148,34 @@ def _build_pair_table(ps):
     return row
 
 
+@jax.jit
+def _build_dmat(bwt_padded, occ, starts):
+    """D[s1][s2] = occurrences of s1 strictly before C[s2], flattened [36].
+    Six 128-byte window gathers + occ rows — stays on device (a host
+    version copied the whole decoded BWT over the tunnel)."""
+    nb = bwt_padded.shape[0] // BIN
+    c = starts[:VC_LEN]
+    b = jnp.minimum(c // BIN, nb - 1)
+    r = c - b * BIN
+    win = jnp.take(bwt_padded.reshape(nb, BIN), b, axis=0)     # [6 s2, BIN]
+    occ_rows = jnp.take(occ, b, axis=0)                        # [6 s2, 6 s1]
+    in_range = jnp.arange(BIN, dtype=jnp.int32)[None, :] < r[:, None]
+    s1 = jnp.arange(VC_LEN, dtype=jnp.uint8)
+    local = jnp.sum(
+        (win[:, :, None] == s1[None, None, :]) & in_range[:, :, None],
+        axis=1, dtype=jnp.int32,
+    )                                                          # [6 s2, 6 s1]
+    return (occ_rows + local).T.reshape(-1)                    # D[s1*6 + s2]
+
+
 def build_pair_index(index: OccIndex) -> PairIndex:
     """Derive the 2-step index from the standard occ index (one-time cost:
     the occ-checkpoint LF pass + one table pass — 0.1 s per 10M symbols)."""
     ps = _build_pair_stream(index.bwt, index.occ, index.starts, n=index.n)
     table2 = _build_pair_table(ps)
-    # D[s1][s2] = occurrences of s1 strictly before C[s2]: occ checkpoint of
-    # C[s2]'s bin + an in-bin correction (host; 36 tiny scans)
-    starts_np = np.asarray(index.starts)
-    occ_np = np.asarray(index.occ)
-    bwt_np = np.asarray(index.bwt)
-    dmat = np.zeros((VC_LEN, VC_LEN), np.int32)
-    for s2 in range(VC_LEN):
-        c = int(starts_np[s2])
-        b, r = divmod(c, BIN)
-        window = bwt_np[b * BIN : b * BIN + r]
-        for s1 in range(VC_LEN):
-            dmat[s1, s2] = int(occ_np[b, s1]) + int(
-                np.count_nonzero(window == s1)
-            )
+    dmat = _build_dmat(index.bwt, index.occ, index.starts)
     return PairIndex(
-        table2=table2, starts=index.starts,
-        dmat=jnp.asarray(dmat.reshape(-1)), n=index.n,
+        table2=table2, starts=index.starts, dmat=dmat, n=index.n,
     )
 
 

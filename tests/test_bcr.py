@@ -113,3 +113,49 @@ def test_random_incremental(rng):
         base = _build(all_reads[:split])
         ext = _build(all_reads[split:], base=base, base_string_count=split)
         assert convert_itos(ext) == naive_bwt(all_reads)
+
+
+def test_build_with_index_matches_separate_derivation(rng):
+    """Fused index derivation (straight off the build's device state) must
+    equal build -> build_occ_index -> pack_index from decoded symbols.
+    Runs the Pallas engine in interpret mode on CPU."""
+    import jax.numpy as jnp
+
+    from rust_msbwt_tpu.ops.bcr import build_msbwt, build_msbwt_with_index
+    from rust_msbwt_tpu.ops.packed_rank import count_kmers_packed, pack_index
+    from rust_msbwt_tpu.ops.rank import build_occ_index
+
+    reads = rng.integers(1, 6, size=(40, 12)).astype(np.uint8)
+    lengths = np.full(40, 12, np.int32)
+    decoded = build_msbwt(reads, lengths, engine="pallas")
+    want_idx = build_occ_index(jnp.asarray(decoded))
+    want_packed = pack_index(want_idx)
+
+    idx, packed = build_msbwt_with_index(reads, lengths, engine="pallas")
+    assert idx.n == want_idx.n
+    assert np.array_equal(np.asarray(idx.bwt), np.asarray(want_idx.bwt))
+    assert np.array_equal(np.asarray(idx.occ), np.asarray(want_idx.occ))
+    assert np.array_equal(np.asarray(idx.starts), np.asarray(want_idx.starts))
+    assert np.array_equal(
+        np.asarray(packed.table), np.asarray(want_packed.table)
+    )
+
+    # and the derived index answers queries identically
+    kmers = reads[:16, :8].copy()
+    got = count_kmers_packed(packed, kmers)
+    want = count_kmers_packed(want_packed, kmers)
+    assert got.tolist() == want.tolist()
+
+
+def test_build_with_index_xla_fallback(rng):
+    """The XLA engine path of build_msbwt_with_index (CPU meshes) matches."""
+    from rust_msbwt_tpu.ops.bcr import build_msbwt, build_msbwt_with_index
+    from rust_msbwt_tpu.ops.rank import count_kmers
+
+    reads = rng.integers(1, 6, size=(25, 9)).astype(np.uint8)
+    lengths = np.full(25, 9, np.int32)
+    decoded = build_msbwt(reads, lengths, engine="xla")
+    idx, packed = build_msbwt_with_index(reads, lengths, engine="xla")
+    assert np.array_equal(np.asarray(idx.bwt)[: idx.n], decoded)
+    got = count_kmers(idx, reads[:10, :6].copy())
+    assert all(c >= 1 for c in got.tolist())

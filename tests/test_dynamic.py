@@ -202,3 +202,27 @@ def test_dynamic_kmer_cache_parity():
     fresh = DynamicBWT()
     fresh.insert_strings(data, True)
     assert after.tolist() == fresh.count_kmers(kmers).tolist()
+
+
+def test_materialize_fused_pallas_path(monkeypatch):
+    """The TPU materialize path (build_msbwt_with_index, device-resident
+    base + indexes) must behave identically to the XLA path — forced here
+    via interpret-mode Pallas on CPU."""
+    from rust_msbwt_tpu.ops import bcr
+
+    monkeypatch.setattr(bcr, "default_engine", lambda: "pallas")
+    data = ["CCGTACGTA", "GGTACAGTA", "ACGACGACG"]
+    b = DynamicBWT()
+    b.insert_strings(data, True)
+    assert b.to_vec().tolist() == convert_stoi(naive_bwt(data)).tolist()
+    text = "".join(data)
+    want_counts = [3] + [text.count(c) for c in "ACGNT"]
+    assert b.get_symbol_counts().tolist() == want_counts
+    kmers = np.stack([convert_stoi(s[:4]) for s in data])
+    counts = b.count_kmers(kmers)
+    assert all(c >= 1 for c in counts.tolist())
+    # extend after a fused build (device-resident base)
+    b.insert_string("AAGTCATAT", True)
+    data.append("AAGTCATAT")
+    assert b.to_vec().tolist() == convert_stoi(naive_bwt(data)).tolist()
+    assert b.string_count == 4
