@@ -68,7 +68,15 @@ def pairwise_bwt_merge(bwt0, bwt1, force_wide: bool = False) -> np.ndarray:
     Result-equivalent to the reference's ``pairwise_bwt_merge``
     (ref: src/bwt_util.rs:108-141). Positions switch to int64 automatically
     past 2^31 merged symbols; ``force_wide`` exercises that path on small
-    data for tests."""
+    data for tests.
+
+    >>> from rust_msbwt_tpu.ops.alphabet import convert_itos, convert_stoi
+    >>> from rust_msbwt_tpu.utils.oracle import naive_bwt
+    >>> a = convert_stoi(naive_bwt(["ACGT"]))
+    >>> b = convert_stoi(naive_bwt(["TGCA"]))
+    >>> convert_itos(pairwise_bwt_merge(a, b)) == naive_bwt(["ACGT", "TGCA"])
+    True
+    """
     bwt0 = np.asarray(bwt0, dtype=np.uint8)
     bwt1 = np.asarray(bwt1, dtype=np.uint8)
     if bwt0.size == 0:
@@ -100,7 +108,14 @@ def merge_interleave(bwt0, bwt1, force_wide: bool = False) -> np.ndarray:
 def kway_merge(bwts: list[np.ndarray], force_wide: bool = False) -> np.ndarray:
     """Balanced binary tree of pairwise merges — the reduction used to
     combine per-shard partial BWTs after a data-parallel build. Each merge
-    independently goes wide once its own size requires it."""
+    independently goes wide once its own size requires it.
+
+    >>> from rust_msbwt_tpu.ops.alphabet import convert_itos, convert_stoi
+    >>> from rust_msbwt_tpu.utils.oracle import naive_bwt
+    >>> parts = [convert_stoi(naive_bwt([s])) for s in ("AC", "GG", "TA")]
+    >>> convert_itos(kway_merge(parts)) == naive_bwt(["AC", "GG", "TA"])
+    True
+    """
     parts = [np.asarray(b, dtype=np.uint8) for b in bwts if np.asarray(b).size]
     if not parts:
         return np.zeros(0, dtype=np.uint8)

@@ -52,6 +52,14 @@ def pack_index(index: OccIndex) -> PackedOccIndex:
     words = 0): a rank at pos == n with n a multiple of BIN indexes bin
     ``n // BIN``, which only exists as a boundary row — without it the row
     gather goes out of range (jnp.take fill mode) and the rank is garbage.
+
+    >>> from rust_msbwt_tpu.ops.alphabet import convert_stoi
+    >>> from rust_msbwt_tpu.ops.rank import build_occ_index
+    >>> from rust_msbwt_tpu.utils.oracle import naive_bwt
+    >>> idx = build_occ_index(convert_stoi(naive_bwt(["ACGT", "TGCA"])))
+    >>> pidx = pack_index(idx)
+    >>> int(count_kmers_packed(pidx, convert_stoi("ACGT"))[0])
+    1
     """
     nb = index.bwt.shape[0] // BIN
     syms = index.bwt.reshape(nb, BIN).astype(jnp.int32)  # PAD=7 has all bits set

@@ -170,7 +170,16 @@ def _build_dmat(bwt_padded, occ, starts):
 
 def build_pair_index(index: OccIndex) -> PairIndex:
     """Derive the 2-step index from the standard occ index (one-time cost:
-    the occ-checkpoint LF pass + one table pass — 0.1 s per 10M symbols)."""
+    the occ-checkpoint LF pass + one table pass — 0.1 s per 10M symbols).
+
+    >>> from rust_msbwt_tpu.ops.alphabet import convert_stoi
+    >>> from rust_msbwt_tpu.ops.rank import build_occ_index
+    >>> from rust_msbwt_tpu.utils.oracle import naive_bwt
+    >>> idx = build_occ_index(convert_stoi(naive_bwt(["ACGT", "TGCA"])))
+    >>> pidx = build_pair_index(idx)
+    >>> [int(c) for c in count_kmers_pair(pidx, convert_stoi("GCA"))]
+    [1]
+    """
     ps = _build_pair_stream(index.bwt, index.occ, index.starts, n=index.n)
     table2 = _build_pair_table(ps)
     dmat = _build_dmat(index.bwt, index.occ, index.starts)

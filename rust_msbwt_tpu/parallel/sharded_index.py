@@ -48,6 +48,12 @@ def build_sharded_index(
     construction), so only the [B]-sized position vectors and the C array
     pay the 64-bit emulation cost (ROADMAP "i64 / hi-lo positions").
     ``force_wide`` exercises that path on small data for tests.
+
+    >>> from rust_msbwt_tpu.ops.alphabet import convert_stoi
+    >>> from rust_msbwt_tpu.utils.oracle import naive_bwt
+    >>> idx = build_sharded_index(convert_stoi(naive_bwt(["ACGT", "TGCA"])))
+    >>> int(count_kmers_sharded(idx, convert_stoi("GT")[None, :])[0])
+    1
     """
     if mesh is None:
         mesh = default_mesh()

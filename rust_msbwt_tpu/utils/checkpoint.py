@@ -54,7 +54,17 @@ def load_index_cache(path: str):
 def save_sharded(decoded: np.ndarray, directory: str, n_shards: int) -> None:
     """Split a decoded BWT into ``n_shards`` contiguous slices, each saved as
     a standalone ``comp_msbwt.npy``, plus ``manifest.json`` with boundaries
-    and global symbol totals."""
+    and global symbol totals.
+
+    >>> import numpy as np, tempfile
+    >>> d = np.array([5, 0, 1, 2, 3, 4], np.uint8)
+    >>> with tempfile.TemporaryDirectory() as td:
+    ...     save_sharded(d, td, n_shards=2)
+    ...     m = load_manifest(td)
+    ...     ok = np.array_equal(load_sharded(td), d)
+    >>> (m["n_shards"], m["total_size"], ok)
+    (2, 6, True)
+    """
     decoded = np.asarray(decoded, dtype=np.uint8)
     os.makedirs(directory, exist_ok=True)
     n = int(decoded.size)

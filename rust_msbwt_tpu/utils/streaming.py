@@ -28,7 +28,22 @@ from rust_msbwt_tpu.ops.bcr import build_msbwt
 
 
 class StreamingBuilder:
-    """Incremental builder: ``add_batch`` reads, then ``finish`` -> BWT."""
+    """Incremental builder: ``add_batch`` reads, then ``finish`` -> BWT.
+
+    Two batches equal one sorted one-shot build (order independence):
+
+    >>> import numpy as np
+    >>> from rust_msbwt_tpu.ops.alphabet import convert_itos, convert_stoi
+    >>> from rust_msbwt_tpu.ops.bcr import encode_reads
+    >>> from rust_msbwt_tpu.utils.oracle import naive_bwt
+    >>> b = StreamingBuilder()
+    >>> b.add_batch(*encode_reads([convert_stoi("ACGT")]))
+    >>> b.add_batch(*encode_reads([convert_stoi("TGCA")]))
+    >>> b.string_count
+    2
+    >>> convert_itos(b.finish()) == naive_bwt(["ACGT", "TGCA"])
+    True
+    """
 
     def __init__(self, sorted_insert: bool = True):
         self.sorted_insert = sorted_insert
