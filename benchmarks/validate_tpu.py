@@ -122,6 +122,51 @@ def main() -> int:
         ok &= merge_case(n_old, n_ins, seed=100 + i)
     check("merge kernel randomized sweep (fast + wide paths)", ok)
 
+    # 3c. native ragged_all_to_all lowering smoke (1-device mesh degenerate
+    # exchange) — so a pod run is not the first time this path compiles
+    from rust_msbwt_tpu.ops.merge import kway_merge
+    from rust_msbwt_tpu.parallel.sharded_merge import sharded_hm_merge
+
+    groups = [
+        np.asarray(
+            build_msbwt(*encode_reads(
+                [rng.integers(1, 6, 20).astype(np.uint8) for _ in range(10)]
+            ), engine="pallas")
+        )
+        for _ in range(3)
+    ]
+    # 3 parts on the single real chip: D=1 mesh, all parts packed onto it
+    try:
+        from rust_msbwt_tpu.parallel.mesh import default_mesh
+
+        mesh = default_mesh()
+        k = min(len(groups), mesh.devices.size)
+        merged = sharded_hm_merge(groups[:k], mesh=mesh, transport="ragged")
+        want = kway_merge(groups[:k])
+        check("native ragged_all_to_all merge (real-chip mesh)",
+              np.array_equal(merged, want))
+    except Exception as e:  # lowering failure IS the finding
+        print(f"[FAIL] native ragged_all_to_all merge: {type(e).__name__}: {e}",
+              flush=True)
+        failures += 1
+
+    # 3d. fused index derivation parity on hardware (non-interpret kernel)
+    from rust_msbwt_tpu.ops.bcr import build_msbwt_with_index
+
+    reads_l = [rng.integers(1, 6, rng.integers(8, 40)).astype(np.uint8)
+               for _ in range(500)]
+    reads2, lens2 = encode_reads(reads_l)
+    dec2 = build_msbwt(reads2, lens2, engine="pallas")
+    w_idx = build_occ_index(jnp.asarray(dec2))
+    w_packed = pack_index(w_idx)
+    f_idx, f_packed = build_msbwt_with_index(reads2, lens2, engine="pallas")
+    check(
+        "fused index derivation == separate derivation (hw kernel)",
+        np.array_equal(np.asarray(f_idx.occ), np.asarray(w_idx.occ))
+        and np.array_equal(np.asarray(f_packed.table), np.asarray(w_packed.table))
+        and np.array_equal(np.asarray(f_idx.bwt), np.asarray(w_idx.bwt)),
+    )
+
     # 4. extend flow parity
     base_l = [rng.integers(1, 6, 30).astype(np.uint8) for _ in range(50)]
     base_r, base_len = encode_reads(base_l)
