@@ -234,6 +234,7 @@ def build_msbwt(
             n0=p["n0"], n_cap=p["n_cap"], L=p["L"],
             n_strings_total=p["n_strings_total"], engine=p["engine"],
             interpret=p["interpret"], cols_on_device=p["cols_on_device"],
+            radix=build_radix(),
         )
     return out if device_out else np.asarray(out)
 
@@ -429,6 +430,101 @@ def _pallas_stage_step(j, carry, reads_cols, lengths, n_strings_total,
     return cur, table, P, counts, prev_v, n_valid
 
 
+def _cvec(counts, n_strings_total):
+    """C-array over rotation space: cvec[0] = 0; cvec[f>=1] counts every
+    string's '$' rotation (n_strings_total, including not-yet-inserted
+    terminators — the invariant that makes batched stages order-consistent)
+    plus buffer occurrences of symbols 1..f-1."""
+    cs = jnp.cumsum(counts, dtype=jnp.int32)
+    return jnp.concatenate(
+        [jnp.zeros(1, jnp.int32),
+         jnp.asarray(n_strings_total, jnp.int32) + (cs[:-1] - counts[0])]
+    )
+
+
+def _pallas_stage_step2(j, carry, reads_cols, lengths, n_strings_total,
+                        interpret):
+    """TWO BCR columns (j, j+1) through ONE merge pass — the radix-2 stage.
+
+    The merge-insert pass streams the whole buffer (capacity-proportional),
+    while position math is N-proportional; consuming two columns per pass
+    halves the dominant buffer traffic. Column j's slot is the standard LF
+    position q1 = cvec0[f] + rank_B0(f, P). Column j+1 needs a rank over the
+    intermediate buffer B1 (B0 + all column-j inserts), which decomposes
+    without materializing B1:
+
+        rank_B1(s, q1_i) = rank_B0(s, q1_i - c_i)
+                           + #{k active: q1_k < q1_i and v1_k = s}
+
+    (c_i = #{k: q1_k < q1_i}; the subtraction maps the B1 slot back to B0
+    coordinates, the second term counts same-stage same-symbol inserts).
+    v2 slots q2 = cvec1[v1] + rank_B1(v1, q1) are already final (B2)
+    coordinates; v1 slots shift past the q2 slots by the stable-merge rule
+    f1 = q1 + #{k: sort(q2)_k - k <= q1} (a searchsorted on a monotone
+    predicate). All corrections are [N]-sized sorts/cumsums.
+
+    Reads inactive for column j+1 (odd tails of variable-length reads)
+    insert only v1; fully inactive reads insert nothing — same masking
+    contract as the single-column stage.
+    """
+    from rust_msbwt_tpu.ops import pallas_merge as pm
+
+    cur, table, P, counts, prev_v, n_valid = carry
+    N = P.shape[0]
+    arange6 = jnp.arange(VC_LEN, dtype=jnp.int32)
+    big = jnp.int32(2**30)
+    pos_max = jnp.int32((table.shape[0] - 1) * BIN)  # rank clip bound
+
+    # --- column j (slots in B1 coordinates) ---
+    active1 = j <= lengths + 1
+    v1 = jax.lax.dynamic_slice_in_dim(reads_cols, j, 1, axis=0)[0]
+    f = prev_v.astype(jnp.int32)
+    r1 = _pallas_rank_table(table, f, P)
+    q1 = _cvec(counts, n_strings_total)[f] + r1
+    q1m = jnp.where(active1, q1, big)
+
+    # c_i = #{active k: q1_k < q1_i}: q1 distinct among actives, inactives
+    # sort last (stable argsort), so the sorted index IS the count
+    order1 = jnp.argsort(q1m)
+    inv1 = jnp.zeros(N, jnp.int32).at[order1].set(
+        jnp.arange(N, dtype=jnp.int32)
+    )
+    old_pos = jnp.clip(q1 - inv1, 0, pos_max)
+
+    # --- column j+1 ---
+    active2 = (j + 1) <= lengths + 1  # active2 implies active1 (monotone)
+    v2 = jax.lax.dynamic_slice_in_dim(reads_cols, j + 1, 1, axis=0)[0]
+    v1i = v1.astype(jnp.int32)
+    r2_base = _pallas_rank_table(table, v1i, old_pos)
+    # in-batch same-symbol count, computed in q1-sorted order
+    v1_sorted = jnp.take(jnp.where(active1, v1i, VC_LEN), order1)
+    onehot = v1_sorted[:, None] == arange6[None, :]
+    pref = jnp.cumsum(onehot, axis=0, dtype=jnp.int32) - onehot
+    inb = jnp.take(jnp.sum(jnp.where(onehot, pref, 0), axis=1), inv1)
+    counts1 = _bump_counts(counts, v1, active1)
+    q2 = _cvec(counts1, n_strings_total)[v1i] + r2_base + inb
+    q2m = jnp.where(active2, q2, big)
+
+    # v1 slots -> final (B2) coordinates: shift past the q2 slots. The
+    # predicate sort(q2m)_k - k <= q1 is true on a prefix (actives are
+    # strictly increasing; the `big` tail never fires for q1 < 2^30 - N),
+    # so searchsorted's binary search is exact.
+    bk = jnp.sort(q2m) - jnp.arange(N, dtype=jnp.int32)
+    f1 = q1 + jnp.searchsorted(bk, q1, side="right").astype(jnp.int32)
+
+    q_all = jnp.concatenate([jnp.where(active1, f1, 0), jnp.where(active2, q2, 0)])
+    v_all = jnp.concatenate([v1, v2]).astype(jnp.int32)
+    act_all = jnp.concatenate([active1, active2])
+    cur, table, m = pm.merge_insert_phys(
+        cur, q_all, v_all, act_all, interpret=interpret
+    )
+    n_valid = n_valid + m
+    P = jnp.where(active2, q2, jnp.where(active1, f1, P))
+    counts = _bump_counts(counts1, v2, active2)
+    prev_v = jnp.where(active2, v2, jnp.where(active1, v1, prev_v))
+    return cur, table, P, counts, prev_v, n_valid
+
+
 def _pallas_stage1(base, q1, reads_cols, lengths, base_counts, *, n0, n_cap,
                    interpret):
     """Initialize the phys buffer and run stage 1 (terminator-slot inserts).
@@ -450,8 +546,48 @@ def _pallas_stage1(base, q1, reads_cols, lengths, base_counts, *, n0, n_cap,
     return cur, table, q1, counts, v1, jnp.int32(n0) + m
 
 
+def build_radix() -> int:
+    """Columns consumed per merge pass on the Pallas engine: 2 by default
+    (halves the capacity-proportional buffer traffic — the dominant build
+    cost at scale); ``MSBWT_TPU_RADIX=1`` forces the single-column stages
+    for A/B measurement."""
+    import os
+
+    try:
+        return 2 if int(os.environ.get("MSBWT_TPU_RADIX", "2")) >= 2 else 1
+    except ValueError:
+        return 2
+
+
+def _pallas_stage_loop(carry, reads_cols, lengths, n_strings_total, L,
+                       interpret, radix):
+    """Run columns 2..L+1 on the phys carry, radix-2 pairs + odd tail."""
+    if radix == 2 and L >= 2:
+        n_pairs = L // 2
+        carry = jax.lax.fori_loop(
+            0, n_pairs,
+            lambda t, c: _pallas_stage_step2(
+                2 + 2 * t, c, reads_cols, lengths, n_strings_total, interpret
+            ),
+            carry,
+        )
+        if L % 2:
+            carry = _pallas_stage_step(
+                L + 1, carry, reads_cols, lengths, n_strings_total, interpret
+            )
+        return carry
+    return jax.lax.fori_loop(
+        2, L + 2,
+        lambda j, c: _pallas_stage_step(
+            j, c, reads_cols, lengths, n_strings_total, interpret
+        ),
+        carry,
+    )
+
+
 def bcr_insert_core_pallas(base, q1, reads_cols, lengths, base_counts, *, n0,
-                           n_cap, L, n_strings_total, interpret=False):
+                           n_cap, L, n_strings_total, interpret=False,
+                           radix=2):
     """BCR core with the Pallas merge-insert kernel as the stage rebuild.
 
     Same math as :func:`bcr_insert_core`, but the buffer lives in the padded
@@ -467,12 +603,8 @@ def bcr_insert_core_pallas(base, q1, reads_cols, lengths, base_counts, *, n0,
         base, q1, reads_cols, lengths, base_counts,
         n0=n0, n_cap=n_cap, interpret=interpret,
     )
-    carry = jax.lax.fori_loop(
-        2, L + 2,
-        lambda j, c: _pallas_stage_step(
-            j, c, reads_cols, lengths, n_strings_total, interpret
-        ),
-        carry,
+    carry = _pallas_stage_loop(
+        carry, reads_cols, lengths, n_strings_total, L, interpret, radix
     )
     return pm.from_phys(carry[0], n_cap).astype(jnp.uint8)
 
@@ -480,11 +612,11 @@ def bcr_insert_core_pallas(base, q1, reads_cols, lengths, base_counts, *, n0,
 @functools.partial(
     jax.jit,
     static_argnames=("n0", "n_cap", "L", "n_strings_total", "engine", "interpret",
-                     "cols_on_device"),
+                     "cols_on_device", "radix"),
 )
 def _bcr_insert(base, q1, reads_cols, lengths, base_counts, *, n0, n_cap, L,
                 n_strings_total, engine="xla", interpret=False,
-                cols_on_device=False):
+                cols_on_device=False, radix=2):
     if cols_on_device:
         # input is equal-length [N, L] reads; build the stage view on device
         # (saves a host pass + keeps the host->device transfer minimal)
@@ -497,7 +629,7 @@ def _bcr_insert(base, q1, reads_cols, lengths, base_counts, *, n0, n_cap, L,
         return bcr_insert_core_pallas(
             base, q1, reads_cols, lengths, base_counts,
             n0=n0, n_cap=n_cap, L=L, n_strings_total=n_strings_total,
-            interpret=interpret,
+            interpret=interpret, radix=radix,
         )
     return bcr_insert_core(
         base, q1, reads_cols, lengths, base_counts,
@@ -558,6 +690,20 @@ def _bcr_block_jit(cur, table, P, counts, prev_v, n_valid, reads_cols,
     )
 
 
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _bcr_block_jit2(cur, table, P, counts, prev_v, n_valid, reads_cols,
+                    lengths, n_strings_total, ja, npairs, *, interpret):
+    """Radix-2 bucket block: ``npairs`` double-column stages from column
+    ``ja`` (both traced — one compiled program per phys shape)."""
+    return jax.lax.fori_loop(
+        0, npairs,
+        lambda t, c: _pallas_stage_step2(
+            ja + 2 * t, c, reads_cols, lengths, n_strings_total, interpret
+        ),
+        (cur, table, P, counts, prev_v, n_valid),
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("new_rows",))
 def _grow_carry(cur, table, *, new_rows):
     pad = jnp.full((new_rows, 128), _PAD, jnp.int32)
@@ -605,7 +751,19 @@ def _bcr_insert_bucketed(base, q1, reads_cols, lengths, base_counts, *, n0,
                          cols_on_device, return_carry=False):
     from rust_msbwt_tpu.ops import pallas_merge as pm
 
+    radix = build_radix()
     buckets = bucket_schedule(n0, N, L, n_cap, pm.CHUNK)
+    if radix == 2:
+        # even-length buckets (shrink, never extend — a pair must fit its
+        # bucket's capacity) so pair blocks need no odd-tail programs except
+        # possibly in the final full-capacity bucket
+        adj, a = [], buckets[0][0]
+        for (_ja, b, cap) in buckets:
+            if b < L + 2 and (b - a) >= 3:
+                b = a + ((b - a) // 2) * 2
+            adj.append((a, b, cap))
+            a = b
+        buckets = adj
     cap0 = buckets[0][2]  # covers stage 1 too (needs n0 + N <= cap0)
     reads_cols, carry = _bcr_stage1_jit(
         base, q1, reads_cols, lengths, base_counts,
@@ -620,10 +778,20 @@ def _bcr_insert_bucketed(base, q1, reads_cols, lengths, base_counts, *, n0,
             )
             carry = (cur, table) + tuple(carry[2:])
             cur_cap = cap
-        carry = _bcr_block_jit(
-            *carry, reads_cols, lengths, nst,
-            jnp.int32(ja), jnp.int32(jb), interpret=interpret,
-        )
+        a = ja
+        if radix == 2:
+            npairs = (jb - a) // 2
+            if npairs:
+                carry = _bcr_block_jit2(
+                    *carry, reads_cols, lengths, nst,
+                    jnp.int32(a), jnp.int32(npairs), interpret=interpret,
+                )
+                a += 2 * npairs
+        if a < jb:
+            carry = _bcr_block_jit(
+                *carry, reads_cols, lengths, nst,
+                jnp.int32(a), jnp.int32(jb), interpret=interpret,
+            )
     if return_carry:
         return carry
     return _from_phys_jit(carry[0], n_cap=n_cap)
@@ -721,7 +889,7 @@ def build_msbwt_with_index(
             jnp.asarray(p["lengths"]), p["base_counts"],
             n0=p["n0"], n_cap=p["n_cap"], L=p["L"],
             n_strings_total=p["n_strings_total"], interpret=p["interpret"],
-            cols_on_device=p["cols_on_device"],
+            cols_on_device=p["cols_on_device"], radix=build_radix(),
         )
     bwt, occ, starts, ptab = _derive_indexes_from_phys(
         carry[0], carry[1], carry[3], n=p["n_cap"]
@@ -733,11 +901,11 @@ def build_msbwt_with_index(
 @functools.partial(
     jax.jit,
     static_argnames=("n0", "n_cap", "L", "n_strings_total", "interpret",
-                     "cols_on_device"),
+                     "cols_on_device", "radix"),
 )
 def _bcr_insert_pallas_carry(base, q1, reads_cols, lengths, base_counts, *,
                              n0, n_cap, L, n_strings_total, interpret,
-                             cols_on_device):
+                             cols_on_device, radix=2):
     """Monolithic Pallas build returning the raw carry (phys buffer, fused
     table, P, counts, prev_v, n_valid) for fused index derivation."""
     if cols_on_device:
@@ -750,12 +918,8 @@ def _bcr_insert_pallas_carry(base, q1, reads_cols, lengths, base_counts, *,
         base, q1, reads_cols, lengths, base_counts,
         n0=n0, n_cap=n_cap, interpret=interpret,
     )
-    return jax.lax.fori_loop(
-        2, L + 2,
-        lambda j, c: _pallas_stage_step(
-            j, c, reads_cols, lengths, n_strings_total, interpret
-        ),
-        carry,
+    return _pallas_stage_loop(
+        carry, reads_cols, lengths, n_strings_total, L, interpret, radix
     )
 
 
