@@ -63,6 +63,18 @@ def run_large(reps: int = 3) -> dict:
     )
     from rust_msbwt_tpu.ops.rank import build_kmer_cache
 
+    # session-health probe: per-dispatch round-trip latency through the
+    # tunnel. The 505M build's cross-session variance (32-61 s in round 2)
+    # tracks this number — recording it alongside the build times lets a
+    # slow session be attributed to transport, not code.
+    x = jnp.zeros(8, jnp.int32)
+    f = jax.jit(lambda a: a + 1)
+    int(np.asarray(f(x)[0]))
+    t0 = time.perf_counter()
+    for _ in range(20):
+        int(np.asarray(f(x)[0]))
+    dispatch_ms = (time.perf_counter() - t0) / 20 * 1e3
+
     N, L, K, B = 5_000_000, 100, 21, 1_000_000
     rng = np.random.default_rng(0xEC011)
     genome = rng.integers(1, 6, size=4_600_000, dtype=np.uint8)
@@ -101,7 +113,7 @@ def run_large(reps: int = 3) -> dict:
 
     t0 = time.perf_counter()
     cache = build_kmer_cache(idx.bwt, idx.occ, idx.starts, idx.n, 8)
-    int(np.asarray(cache[0, 0]))
+    int(np.asarray(cache.lo[0]))
     cache_s = time.perf_counter() - t0
 
     rows = rng.integers(0, N, B)
@@ -131,6 +143,7 @@ def run_large(reps: int = 3) -> dict:
         f"{counts.mean():.1f}")
     return {
         "bwt_symbols": int(idx.n),
+        "dispatch_roundtrip_ms": round(dispatch_ms, 2),
         "build_index_seconds_median": round(med, 2),
         "build_index_seconds_min": round(ts[0], 2),
         "build_index_seconds_max": round(ts[-1], 2),
@@ -201,7 +214,7 @@ def main():
     CACHE_K = 8
     t0 = time.perf_counter()
     cache = build_kmer_cache(index.bwt, index.occ, index.starts, index.n, CACHE_K)
-    cache.block_until_ready()
+    cache.lo.block_until_ready()
     log(f"kmer cache (6^{CACHE_K} ranges): {time.perf_counter() - t0:.2f}s")
 
     # --- query (north star) ---

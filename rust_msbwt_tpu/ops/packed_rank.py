@@ -126,12 +126,9 @@ def _count_kmers_packed_impl(table, starts, n, kmers, lengths, cache=None,
 
     t_start = 0
     if cache is not None and cache_k > 0 and K >= cache_k:
-        weights = VC_LEN ** (cache_k - 1 - jnp.arange(cache_k, dtype=jnp.int32))
-        code = jnp.sum(
-            kmers[:, K - cache_k:].astype(jnp.int32) * weights[None, :], axis=1
-        )
-        seeded = jnp.take(cache, code, axis=0)
-        lo, hi = seeded[:, 0], seeded[:, 1]
+        from rust_msbwt_tpu.ops.rank import _cache_seed
+
+        lo, hi = _cache_seed(cache, kmers, K, cache_k)
         t_start = cache_k
 
     def step(t, carry):

@@ -127,14 +127,7 @@ def _count_kmers_impl(bwt, occ, starts, n, kmers, lengths, cache=None, cache_k=0
         # cache_k symbols, then start the loop at step cache_k. The caller
         # guarantees every query in this batch has length >= cache_k (shorter
         # queries are routed through the uncached program).
-        weights = VC_LEN ** (
-            cache_k - 1 - jnp.arange(cache_k, dtype=jnp.int32)
-        )
-        code = jnp.sum(
-            kmers[:, K - cache_k:].astype(jnp.int32) * weights[None, :], axis=1
-        )
-        seeded = jnp.take(cache, code, axis=0)
-        lo, hi = seeded[:, 0], seeded[:, 1]
+        lo, hi = _cache_seed(cache, kmers, K, cache_k)
         t_start = cache_k
 
     def step(t, carry):
@@ -157,6 +150,30 @@ def _count_kmers_impl(bwt, occ, starts, n, kmers, lengths, cache=None, cache_k=0
 _CACHE_LEVEL_CHUNK = 6**8  # largest single-program level (compiler limit)
 
 
+class KmerCache(NamedTuple):
+    """Prefix-range cache as TWO flat [6^k] arrays. A ``[6^k, 2]`` layout
+    is avoided on purpose: deep-cache (6^10) builds materialized minor-dim-2
+    intermediates that tile-pad 64x in TPU compute layouts (measured 30 GB
+    at 505M symbols — OOM); flat arrays stay at their true size."""
+
+    lo: jax.Array   # i32 [VC_LEN**k]
+    hi: jax.Array   # i32 [VC_LEN**k]
+
+    @property
+    def table(self) -> jax.Array:
+        """[6^k, 2] host-friendly view (tests / inspection)."""
+        return jnp.stack([self.lo, self.hi], axis=1)
+
+
+def _cache_seed(cache, kmers, K, cache_k):
+    """Seed [lo, hi) from the last ``cache_k`` symbols (two flat gathers)."""
+    weights = VC_LEN ** (cache_k - 1 - jnp.arange(cache_k, dtype=jnp.int32))
+    code = jnp.sum(
+        kmers[:, K - cache_k :].astype(jnp.int32) * weights[None, :], axis=1
+    )
+    return jnp.take(cache.lo, code), jnp.take(cache.hi, code)
+
+
 @functools.partial(jax.jit, static_argnames=("n", "size"))
 def _cache_level_impl(bwt, occ, starts, n, lo, hi, *, size):
     """One cache level: extend every length-(l-1) range by each symbol."""
@@ -164,7 +181,7 @@ def _cache_level_impl(bwt, occ, starts, n, lo, hi, *, size):
     sym = jnp.repeat(jnp.arange(VC_LEN, dtype=jnp.int32), size)
     new_lo, new_hi = constrain_range(index, sym, jnp.tile(lo, VC_LEN),
                                      jnp.tile(hi, VC_LEN))
-    return jnp.stack([new_lo, new_hi], axis=1)
+    return new_lo, new_hi
 
 
 @functools.partial(jax.jit, static_argnames=("n", "cache_k"))
@@ -194,27 +211,26 @@ def _cache_fused_impl(bwt, occ, starts, n, *, cache_k):
                                jnp.take(hi, rest))
 
     lo, hi = jax.lax.fori_loop(1, cache_k + 1, level, (lo, hi))
-    return jnp.stack([lo, hi], axis=1)
+    return lo, hi
 
 
-def build_kmer_cache(bwt, occ, starts, n, cache_k: int):
+def build_kmer_cache(bwt, occ, starts, n, cache_k: int) -> KmerCache:
     """Ranges of every length-``cache_k`` string over the 6-symbol alphabet
-    (``[VC_LEN**cache_k, 2]`` i32) — realizes the caching idea the reference
-    sketches but never ships (ref: src/msbwt_core.rs:133-146). Up to 6^8
-    entries the whole build is ONE fused program (``_cache_fused_impl``);
-    deeper caches build level by level, with levels past 6^8 entries run in
-    fixed-size chunks (one giant program fails to compile).
+    (:class:`KmerCache`) — realizes the caching idea the reference sketches
+    but never ships (ref: src/msbwt_core.rs:133-146). Up to 6^8 entries the
+    whole build is ONE fused program (``_cache_fused_impl``); deeper caches
+    build level by level, with levels past 6^8 entries run in fixed-size
+    chunks (one giant program fails to compile).
     """
     if cache_k <= 8:
-        return _cache_fused_impl(bwt, occ, starts, n, cache_k=cache_k)
+        return KmerCache(*_cache_fused_impl(bwt, occ, starts, n,
+                                            cache_k=cache_k))
     # deep caches: fused program to level 8, then chunked levels on top
-    table = _cache_fused_impl(bwt, occ, starts, n, cache_k=8)
+    lo, hi = _cache_fused_impl(bwt, occ, starts, n, cache_k=8)
     for level in range(9, cache_k + 1):
         size = VC_LEN ** (level - 1)
         if size <= _CACHE_LEVEL_CHUNK:
-            table = _cache_level_impl(
-                bwt, occ, starts, n, table[:, 0], table[:, 1], size=size
-            )
+            lo, hi = _cache_level_impl(bwt, occ, starts, n, lo, hi, size=size)
         else:
             # chunk the previous level; each chunk expands to 6 chunks of the
             # new level interleaved by leading symbol: reorder afterwards.
@@ -222,17 +238,20 @@ def build_kmer_cache(bwt, occ, starts, n, cache_k: int):
             # slice [sym*size + c*CH, sym*size + (c+1)*CH) for each sym.
             ch = _CACHE_LEVEL_CHUNK
             n_chunks = size // ch
-            parts = []
+            parts_lo, parts_hi = [], []
             for c in range(n_chunks):
-                parts.append(_cache_level_impl(
+                plo, phi = _cache_level_impl(
                     bwt, occ, starts, n,
-                    jax.lax.dynamic_slice_in_dim(table[:, 0], c * ch, ch),
-                    jax.lax.dynamic_slice_in_dim(table[:, 1], c * ch, ch),
+                    jax.lax.dynamic_slice_in_dim(lo, c * ch, ch),
+                    jax.lax.dynamic_slice_in_dim(hi, c * ch, ch),
                     size=ch,
-                ).reshape(VC_LEN, ch, 2))
+                )
+                parts_lo.append(plo.reshape(VC_LEN, ch))
+                parts_hi.append(phi.reshape(VC_LEN, ch))
             # parts[c][s] holds codes [s*size + c*ch, s*size + (c+1)*ch)
-            table = jnp.stack(parts, axis=1).reshape(VC_LEN * size, 2)
-    return table
+            lo = jnp.stack(parts_lo, axis=1).reshape(VC_LEN * size)
+            hi = jnp.stack(parts_hi, axis=1).reshape(VC_LEN * size)
+    return KmerCache(lo, hi)
 
 
 def count_kmers(index: OccIndex, kmers, lengths=None, cache=None,

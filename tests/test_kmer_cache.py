@@ -36,7 +36,7 @@ def test_cache_table_matches_uncached(setup, rng, cache_k):
         [(codes // (6 ** (cache_k - 1 - j))) % 6 for j in range(cache_k)], axis=1
     ).astype(np.uint8)
     counts = count_kmers(index, digits)
-    tab = np.asarray(cache)
+    tab = np.asarray(cache.table)
     assert (tab[:, 1] - tab[:, 0]).tolist() == counts.tolist()
 
 
@@ -104,14 +104,14 @@ def test_fused_cache_equals_chained_levels(setup):
 
     data, decoded, index = setup
     k = 5
-    table = jnp.stack(
-        [jnp.zeros(1, jnp.int32), jnp.full(1, int(index.n), jnp.int32)], axis=1
-    )
+    lo = jnp.zeros(1, jnp.int32)
+    hi = jnp.full(1, int(index.n), jnp.int32)
     for level in range(1, k + 1):
-        table = _cache_level_impl(
+        lo, hi = _cache_level_impl(
             index.bwt, index.occ, index.starts, index.n,
-            table[:, 0], table[:, 1], size=6 ** (level - 1),
+            lo, hi, size=6 ** (level - 1),
         )
-    fused = _cache_fused_impl(index.bwt, index.occ, index.starts, index.n,
-                              cache_k=k)
-    assert np.array_equal(np.asarray(fused), np.asarray(table))
+    flo, fhi = _cache_fused_impl(index.bwt, index.occ, index.starts, index.n,
+                                 cache_k=k)
+    assert np.array_equal(np.asarray(flo), np.asarray(lo))
+    assert np.array_equal(np.asarray(fhi), np.asarray(hi))
