@@ -234,7 +234,7 @@ def build_msbwt(
             n0=p["n0"], n_cap=p["n_cap"], L=p["L"],
             n_strings_total=p["n_strings_total"], engine=p["engine"],
             interpret=p["interpret"], cols_on_device=p["cols_on_device"],
-            radix=build_radix(),
+            radix=build_radix(p["n_cap"], p["N"]),
         )
     return out if device_out else np.asarray(out)
 
@@ -510,7 +510,11 @@ def _pallas_stage_step2(j, carry, reads_cols, lengths, n_strings_total,
     # strictly increasing; the `big` tail never fires for q1 < 2^30 - N),
     # so searchsorted's binary search is exact.
     bk = jnp.sort(q2m) - jnp.arange(N, dtype=jnp.int32)
-    f1 = q1 + jnp.searchsorted(bk, q1, side="right").astype(jnp.int32)
+    # method="sort" (one [2N] sort) — the default binary search costs
+    # 775 ms at N=5M on v5e vs ~50 ms for the sort form (measured)
+    f1 = q1 + jnp.searchsorted(
+        bk, q1, side="right", method="sort"
+    ).astype(jnp.int32)
 
     q_all = jnp.concatenate([jnp.where(active1, f1, 0), jnp.where(active2, q2, 0)])
     v_all = jnp.concatenate([v1, v2]).astype(jnp.int32)
@@ -546,17 +550,32 @@ def _pallas_stage1(base, q1, reads_cols, lengths, base_counts, *, n0, n_cap,
     return cur, table, q1, counts, v1, jnp.int32(n0) + m
 
 
-def build_radix() -> int:
-    """Columns consumed per merge pass on the Pallas engine: 2 by default
-    (halves the capacity-proportional buffer traffic — the dominant build
-    cost at scale); ``MSBWT_TPU_RADIX=1`` forces the single-column stages
-    for A/B measurement."""
+# Average rotation length above which radix-2 wins. Measured at 505M
+# symbols on v5e: the double-stage's extra [N]-ops cost ~250-350 ms at
+# N=5M (sort-based rank composition; the default binary-search
+# searchsorted costs 775 ms alone) while the saved merge pass is worth
+# ~125 ms at L=100 — radix-2 LOST 41.4 s -> 113.9 s. The saving is
+# capacity-proportional and the overhead N-proportional, so long reads
+# flip the sign (same symbol count, 10x fewer reads => 10x cheaper
+# corrections against the same saving).
+RADIX2_MIN_AVG_LEN = 512
+
+
+def build_radix(n_cap: int | None = None, n_reads: int | None = None) -> int:
+    """Columns consumed per merge pass on the Pallas engine. Auto mode
+    picks 2 only when the average rotation length clears
+    ``RADIX2_MIN_AVG_LEN`` (see the measurement note above);
+    ``MSBWT_TPU_RADIX=1`` / ``=2`` forces either for A/B runs."""
     import os
 
-    try:
-        return 2 if int(os.environ.get("MSBWT_TPU_RADIX", "2")) >= 2 else 1
-    except ValueError:
+    v = os.environ.get("MSBWT_TPU_RADIX", "auto")
+    if v == "1":
+        return 1
+    if v == "2":
         return 2
+    if n_cap is not None and n_reads:
+        return 2 if n_cap / n_reads >= RADIX2_MIN_AVG_LEN else 1
+    return 1
 
 
 def _pallas_stage_loop(carry, reads_cols, lengths, n_strings_total, L,
@@ -751,7 +770,7 @@ def _bcr_insert_bucketed(base, q1, reads_cols, lengths, base_counts, *, n0,
                          cols_on_device, return_carry=False):
     from rust_msbwt_tpu.ops import pallas_merge as pm
 
-    radix = build_radix()
+    radix = build_radix(n_cap, N)
     buckets = bucket_schedule(n0, N, L, n_cap, pm.CHUNK)
     if radix == 2:
         # even-length buckets (shrink, never extend — a pair must fit its
@@ -889,7 +908,8 @@ def build_msbwt_with_index(
             jnp.asarray(p["lengths"]), p["base_counts"],
             n0=p["n0"], n_cap=p["n_cap"], L=p["L"],
             n_strings_total=p["n_strings_total"], interpret=p["interpret"],
-            cols_on_device=p["cols_on_device"], radix=build_radix(),
+            cols_on_device=p["cols_on_device"],
+            radix=build_radix(p["n_cap"], p["N"]),
         )
     bwt, occ, starts, ptab = _derive_indexes_from_phys(
         carry[0], carry[1], carry[3], n=p["n_cap"]

@@ -159,3 +159,49 @@ def test_build_with_index_xla_fallback(rng):
     assert np.array_equal(np.asarray(idx.bwt)[: idx.n], decoded)
     got = count_kmers(idx, reads[:10, :6].copy())
     assert all(c >= 1 for c in got.tolist())
+
+
+def test_radix2_matches_oracle(monkeypatch, rng):
+    """Radix-2 stages (two columns per merge pass) must equal the oracle on
+    sorted, chronological, variable-length, duplicate and extend cases.
+    Forced via MSBWT_TPU_RADIX=2 (auto mode picks radix 1 for short reads)."""
+    monkeypatch.setenv("MSBWT_TPU_RADIX", "2")
+    for trial in range(3):
+        n = int(rng.integers(5, 40))
+        reads_l = [rng.integers(1, 6, int(rng.integers(1, 25))).astype(np.uint8)
+                   for _ in range(n)]
+        if n > 3:
+            reads_l[1] = reads_l[0].copy()  # duplicates
+        reads, lens = encode_reads(reads_l)
+        want = naive_bwt([convert_itos(r) for r in reads_l])
+        got = build_msbwt(reads, lens, engine="pallas")
+        assert convert_itos(got) == want, f"sorted trial {trial}"
+        got2 = build_msbwt(reads, lens, sorted_insert=False, engine="pallas")
+        want2 = build_msbwt(reads, lens, sorted_insert=False, engine="xla")
+        assert np.array_equal(got2, want2), f"chrono trial {trial}"
+    # extend after a radix-2 build
+    base_l = [rng.integers(1, 6, 12).astype(np.uint8) for _ in range(8)]
+    br, bl = encode_reads(base_l)
+    base = build_msbwt(br, bl, engine="pallas")
+    new_l = [rng.integers(1, 6, 9).astype(np.uint8) for _ in range(5)]
+    nr, nl = encode_reads(new_l)
+    got = build_msbwt(nr, nl, base=base, base_string_count=8, engine="pallas")
+    want = naive_bwt([convert_itos(r) for r in base_l + new_l])
+    assert convert_itos(got) == want
+
+
+def test_radix2_with_index(monkeypatch, rng):
+    """Fused index derivation must be exact off radix-2 carries too."""
+    import jax.numpy as jnp
+
+    from rust_msbwt_tpu.ops.bcr import build_msbwt_with_index
+    from rust_msbwt_tpu.ops.packed_rank import pack_index
+    from rust_msbwt_tpu.ops.rank import build_occ_index
+
+    monkeypatch.setenv("MSBWT_TPU_RADIX", "2")
+    reads = rng.integers(1, 6, size=(30, 11)).astype(np.uint8)
+    lengths = np.full(30, 11, np.int32)
+    decoded = build_msbwt(reads, lengths, engine="pallas")
+    want = pack_index(build_occ_index(jnp.asarray(decoded)))
+    idx, packed = build_msbwt_with_index(reads, lengths, engine="pallas")
+    assert np.array_equal(np.asarray(packed.table), np.asarray(want.table))
