@@ -75,6 +75,37 @@ def run_large(reps: int = 3) -> dict:
         int(np.asarray(f(x)[0]))
     dispatch_ms = (time.perf_counter() - t0) / 20 * 1e3
 
+    # device-health probes: MXU rate (bf16 8k matmul chain) and HBM rate
+    # (elementwise pass over 512 MB). A slow session with NORMAL rates here
+    # is transport; abnormal rates here are the device (thermal/contention).
+    a = jnp.ones((8192, 8192), jnp.bfloat16)
+
+    @jax.jit
+    def mm(a):
+        def body(i, acc):
+            return jnp.dot(acc, a, preferred_element_type=jnp.bfloat16) * 0.5
+        return jax.lax.fori_loop(0, 8, body, a)
+
+    int(np.asarray(mm(a)[0, 0] * 0))
+    t0 = time.perf_counter()
+    int(np.asarray(mm(a)[0, 0] * 0))
+    mxu_tflops = 8 * 2 * 8192**3 / (time.perf_counter() - t0) / 1e12
+    big = jnp.ones(128 * 1024 * 1024, jnp.int32)
+
+    @jax.jit
+    def ew(b):
+        def body(i, acc):
+            return acc * 3 + i
+        return jax.lax.fori_loop(0, 8, body, b)
+
+    int(np.asarray(ew(big)[0] * 0))
+    t0 = time.perf_counter()
+    int(np.asarray(ew(big)[0] * 0))
+    hbm_gbps = 8 * 2 * big.size * 4 / (time.perf_counter() - t0) / 1e9
+    log(f"[large] session health: dispatch {dispatch_ms:.1f} ms, MXU "
+        f"{mxu_tflops:.0f} Tflop/s bf16, HBM {hbm_gbps:.0f} GB/s")
+    del a, big
+
     N, L, K, B = 5_000_000, 100, 21, 1_000_000
     rng = np.random.default_rng(0xEC011)
     genome = rng.integers(1, 6, size=4_600_000, dtype=np.uint8)
@@ -144,6 +175,8 @@ def run_large(reps: int = 3) -> dict:
     return {
         "bwt_symbols": int(idx.n),
         "dispatch_roundtrip_ms": round(dispatch_ms, 2),
+        "mxu_tflops_bf16": round(mxu_tflops, 1),
+        "hbm_gbps": round(hbm_gbps, 1),
         "build_index_seconds_median": round(med, 2),
         "build_index_seconds_min": round(ts[0], 2),
         "build_index_seconds_max": round(ts[-1], 2),
