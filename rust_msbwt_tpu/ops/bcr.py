@@ -550,31 +550,25 @@ def _pallas_stage1(base, q1, reads_cols, lengths, base_counts, *, n0, n_cap,
     return cur, table, q1, counts, v1, jnp.int32(n0) + m
 
 
-# Average rotation length above which radix-2 wins. Measured at 505M
-# symbols on v5e: the double-stage's extra [N]-ops cost ~250-350 ms at
-# N=5M (sort-based rank composition; the default binary-search
-# searchsorted costs 775 ms alone) while the saved merge pass is worth
-# ~125 ms at L=100 — radix-2 LOST 41.4 s -> 113.9 s. The saving is
-# capacity-proportional and the overhead N-proportional, so long reads
-# flip the sign (same symbol count, 10x fewer reads => 10x cheaper
-# corrections against the same saving).
-RADIX2_MIN_AVG_LEN = 512
-
-
 def build_radix(n_cap: int | None = None, n_reads: int | None = None) -> int:
-    """Columns consumed per merge pass on the Pallas engine. Auto mode
-    picks 2 only when the average rotation length clears
-    ``RADIX2_MIN_AVG_LEN`` (see the measurement note above);
-    ``MSBWT_TPU_RADIX=1`` / ``=2`` forces either for A/B runs."""
+    """Columns consumed per merge pass on the Pallas engine.
+
+    Default 1. Radix 2 (``MSBWT_TPU_RADIX=2``) is a measured LOSS on the
+    short-read flagship config — 505M symbols as 5M x 100bp went 41.4 ->
+    113.9 s because the double-stage's [N]-sized corrections (argsort
+    19 ms, scatter 45 ms, sort-based searchsorted ~50 ms, extra rank
+    gather) exceed the ~125 ms capacity-proportional merge saving at
+    N=5M. The overhead is N-proportional and the saving
+    capacity-proportional, so long reads should flip the sign — but an
+    interleaved A/B at 500k x 1000bp was INCONCLUSIVE under the
+    platform's 2x run-to-run build variance (ratios 0.61-1.42x across
+    interleaved rounds). Until a quieter session shows a reproducible
+    win, auto mode stays at radix 1 everywhere."""
     import os
 
     v = os.environ.get("MSBWT_TPU_RADIX", "auto")
-    if v == "1":
-        return 1
     if v == "2":
         return 2
-    if n_cap is not None and n_reads:
-        return 2 if n_cap / n_reads >= RADIX2_MIN_AVG_LEN else 1
     return 1
 
 
