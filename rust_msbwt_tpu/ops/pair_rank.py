@@ -68,7 +68,6 @@ class PairIndex(NamedTuple):
 _TRI_EXCL_NP = np.triu(np.ones((BIN, BIN), np.float32), 1)
 
 
-@functools.partial(jax.jit, static_argnames=("n",))
 def _build_pair_stream(bwt_padded, occ, starts, *, n):
     """PS[i] = (BWT[i] << 3) | BWT[LF(i)] for i < n, else the pad code.
 
@@ -76,36 +75,88 @@ def _build_pair_stream(bwt_padded, occ, starts, *, n):
     sort): LF(i) = C[c] + occ[bin(i), c] + (exclusive in-bin rank of i
     among same-symbol positions), the in-bin rank via six bf16 MXU matmuls
     with a strict-lower-triangular prefix matrix (counts <= 128:
-    bf16-exact).
+    bf16-exact). Default path: one n-element gather reads ``BWT[LF(i)]``
+    (~15 ns/element — 7.5 s at 505M).
 
-    ``BWT[LF(i)]`` is then read WITHOUT an n-element flat gather (measured
-    7.5 s at 505M — ~15 ns/element): within one bin, the LF targets of the
-    symbol-s positions form ONE contiguous run starting at
-    ``g = C[s] + occ[bin, s]``, so per (bin, s) the values live in two
-    consecutive 128-byte BWT rows — 12 ROW gathers per bin (~10 ns each
-    but 128 bytes wide) + lane ``take_along_axis``/selects reconstruct
-    every prev symbol (measured ~0.9 s at 505M, 8x faster)."""
+    ``MSBWT_TPU_PAIR_FAST=1`` selects an experimental row-gather variant
+    (within one bin the LF targets of symbol-s positions are ONE
+    contiguous run, so 12 row gathers per bin + lane selects reconstruct
+    every prev symbol) — it is oracle-exact on CPU but CRASHED the axon
+    TPU worker at 505M in round 3 (both chunked and unchunked forms), so
+    it stays opt-in until the fault is understood."""
+    import os
+
+    if os.environ.get("MSBWT_TPU_PAIR_FAST") == "1":
+        return _build_pair_stream_rowgather(bwt_padded, occ, starts, n=n)
+    return _build_pair_stream_flat(bwt_padded, occ, starts, n=n)
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def _build_pair_stream_flat(bwt_padded, occ, starts, *, n):
     npad = bwt_padded.shape[0]
     NB = npad // BIN
     bins = bwt_padded.reshape(NB, BIN)
-    bwt_rows = bins  # same storage: row r = positions [128r, 128r+128)
     tri = jnp.asarray(_TRI_EXCL_NP, jnp.bfloat16)
-    lane = jnp.arange(BIN, dtype=jnp.int32)[None, :]
-    prev = jnp.zeros((NB, BIN), jnp.int32)
+    excl = jnp.zeros((NB, BIN), jnp.float32)
+    occ_base = jnp.zeros((NB, BIN), jnp.int32)
     for s in range(VC_LEN):
         m = (bins == s)
         e = jnp.dot(m.astype(jnp.bfloat16), tri,
-                    preferred_element_type=jnp.float32).astype(jnp.int32)
-        g = starts[s] + occ[:NB, s]                       # [NB] run starts
-        r0 = jnp.clip(g // BIN, 0, NB - 1)
-        w0 = jnp.take(bwt_rows, r0, axis=0)               # [NB, 128]
-        w1 = jnp.take(bwt_rows, jnp.clip(r0 + 1, 0, NB - 1), axis=0)
-        off = (g % BIN)[:, None] + e                      # [NB, 128] in [0,256)
-        lo = jnp.take_along_axis(w0, jnp.clip(off, 0, BIN - 1), axis=1)
-        hi = jnp.take_along_axis(w1, jnp.clip(off - BIN, 0, BIN - 1), axis=1)
-        val = jnp.where(off < BIN, lo, hi).astype(jnp.int32)
-        prev = jnp.where(m, val, prev)
-    ps = ((bins.astype(jnp.int32) << 3) | prev).reshape(-1)
+                    preferred_element_type=jnp.float32)
+        excl = jnp.where(m, e, excl)
+        occ_base = jnp.where(m, occ[:NB, s][:, None], occ_base)
+    sym = bins.astype(jnp.int32)
+    lf = (
+        jnp.take(starts, jnp.clip(sym, 0, VC_LEN))
+        + occ_base
+        + excl.astype(jnp.int32)
+    ).reshape(-1)
+    idx = jnp.arange(npad, dtype=jnp.int32)
+    prev = jnp.take(bwt_padded, jnp.clip(lf, 0, npad - 1))
+    ps = (bwt_padded.astype(jnp.int32) << 3) | prev.astype(jnp.int32)
+    return jnp.where(idx < n, ps, _PAD_PAIR).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def _build_pair_stream_rowgather(bwt_padded, occ, starts, *, n):
+    """Experimental contiguous-run variant (see ``_build_pair_stream``)."""
+    npad = bwt_padded.shape[0]
+    NB = npad // BIN
+    bins = bwt_padded.reshape(NB, BIN)
+    tri = jnp.asarray(_TRI_EXCL_NP, jnp.bfloat16)
+
+    # chunk over bins so the [chunk, 128] i32 temporaries stay ~100 MB
+    CB = min(1 << 18, NB)
+    nc = -(-NB // CB)
+    pad_rows = nc * CB - NB
+    bins_p = jnp.pad(bins, ((0, pad_rows), (0, 0)), constant_values=7)
+    occ_p = jnp.pad(occ[:NB], ((0, pad_rows), (0, 0)))
+
+    def chunk(c, ps):
+        cb = jax.lax.dynamic_slice(bins_p, (c * CB, 0), (CB, BIN))
+        co = jax.lax.dynamic_slice(occ_p, (c * CB, 0), (CB, VC_LEN))
+        prev = jnp.zeros((CB, BIN), jnp.uint8)
+        for s in range(VC_LEN):
+            m = (cb == s)
+            e = jnp.dot(m.astype(jnp.bfloat16), tri,
+                        preferred_element_type=jnp.float32).astype(jnp.int32)
+            g = starts[s] + co[:, s]                     # [CB] run starts
+            r0 = jnp.clip(g // BIN, 0, NB - 1)
+            w0 = jnp.take(bins, r0, axis=0)              # [CB, 128]
+            w1 = jnp.take(bins, jnp.clip(r0 + 1, 0, NB - 1), axis=0)
+            off = (g % BIN)[:, None] + e                 # in [0, 256)
+            lo = jnp.take_along_axis(w0, jnp.clip(off, 0, BIN - 1), axis=1)
+            hi = jnp.take_along_axis(
+                w1, jnp.clip(off - BIN, 0, BIN - 1), axis=1
+            )
+            val = jnp.where(off < BIN, lo, hi)
+            prev = jnp.where(m, val, prev)
+        cp = ((cb.astype(jnp.int32) << 3) | prev.astype(jnp.int32))
+        return jax.lax.dynamic_update_slice(ps, cp, (c * CB, 0))
+
+    ps = jax.lax.fori_loop(
+        0, nc, chunk, jnp.zeros((nc * CB, BIN), jnp.int32)
+    )[:NB].reshape(-1)
     idx = jnp.arange(npad, dtype=jnp.int32)
     return jnp.where(idx < n, ps, _PAD_PAIR).astype(jnp.int32)
 
