@@ -67,6 +67,9 @@ class PairIndex(NamedTuple):
 # strict prefix matrix: T[j, i] = 1 iff j < i, so (m @ T)[i] = #{j < i: m[j]}
 _TRI_EXCL_NP = np.triu(np.ones((BIN, BIN), np.float32), 1)
 
+# row-gather stream chunk cap (bins); read at trace time, patchable in tests
+_ROWGATHER_CHUNK_BINS = 1 << 18
+
 
 def _build_pair_stream(bwt_padded, occ, starts, *, n):
     """PS[i] = (BWT[i] << 3) | BWT[LF(i)] for i < n, else the pad code.
@@ -78,12 +81,13 @@ def _build_pair_stream(bwt_padded, occ, starts, *, n):
     bf16-exact). Default path: one n-element gather reads ``BWT[LF(i)]``
     (~15 ns/element — 7.5 s at 505M).
 
-    ``MSBWT_TPU_PAIR_FAST=1`` selects an experimental row-gather variant
-    (within one bin the LF targets of symbol-s positions are ONE
-    contiguous run, so 12 row gathers per bin + lane selects reconstruct
-    every prev symbol) — it is oracle-exact on CPU but CRASHED the axon
-    TPU worker at 505M in round 3 (both chunked and unchunked forms), so
-    it stays opt-in until the fault is understood."""
+    ``MSBWT_TPU_PAIR_FAST=1`` selects a row-gather variant (within one
+    bin the LF targets of symbol-s positions are ONE contiguous run, so
+    12 row gathers per bin + lane selects reconstruct every prev symbol).
+    Its first form crashed the axon TPU worker at 505M; the rewrite packs
+    4 symbols per i32 lane so no u8 array is dynamically sliced or
+    row-gathered (u8 dynamic-start DMA is a recorded miscompile on this
+    platform). Opt-in until validated at 505M on hardware."""
     import os
 
     if os.environ.get("MSBWT_TPU_PAIR_FAST") == "1":
@@ -119,31 +123,50 @@ def _build_pair_stream_flat(bwt_padded, occ, starts, *, n):
 
 @functools.partial(jax.jit, static_argnames=("n",))
 def _build_pair_stream_rowgather(bwt_padded, occ, starts, *, n):
-    """Experimental contiguous-run variant (see ``_build_pair_stream``)."""
+    """Contiguous-run variant (see ``_build_pair_stream``): for the
+    symbol-s positions of one bin, LF targets form ONE contiguous run, so
+    two row gathers per (bin, symbol) + lane ``take_along_axis`` read all
+    their prev symbols. All sliced/gathered arrays are i32 (symbols packed
+    four per lane) — u8 dynamic-start DMA miscompiles on this platform."""
     npad = bwt_padded.shape[0]
     NB = npad // BIN
     bins = bwt_padded.reshape(NB, BIN)
     tri = jnp.asarray(_TRI_EXCL_NP, jnp.bfloat16)
 
+    lanes = jnp.arange(BIN, dtype=jnp.int32)
+    sh4 = jnp.asarray([0, 8, 16, 24], jnp.int32)
+    bins4 = jnp.sum(
+        bins.astype(jnp.int32).reshape(NB, 32, 4) << sh4[None, None, :],
+        axis=2, dtype=jnp.int32,
+    )  # [NB, 32]: symbol j of a bin in byte j%4 of lane j//4
+
     # chunk over bins so the [chunk, 128] i32 temporaries stay ~100 MB
-    CB = min(1 << 18, NB)
+    CB = min(_ROWGATHER_CHUNK_BINS, NB)
     nc = -(-NB // CB)
     pad_rows = nc * CB - NB
-    bins_p = jnp.pad(bins, ((0, pad_rows), (0, 0)), constant_values=7)
+    bins4_p = jnp.pad(
+        bins4, ((0, pad_rows), (0, 0)), constant_values=0x07070707
+    )
     occ_p = jnp.pad(occ[:NB], ((0, pad_rows), (0, 0)))
 
+    word = lanes // 4
+    byte = (lanes % 4) * 8
+
+    def unpack(p4):  # [*, 32] packed i32 -> [*, 128] i32 symbols
+        return (jnp.take(p4, word, axis=1) >> byte[None, :]) & 0xFF
+
     def chunk(c, ps):
-        cb = jax.lax.dynamic_slice(bins_p, (c * CB, 0), (CB, BIN))
+        cb = unpack(jax.lax.dynamic_slice(bins4_p, (c * CB, 0), (CB, 32)))
         co = jax.lax.dynamic_slice(occ_p, (c * CB, 0), (CB, VC_LEN))
-        prev = jnp.zeros((CB, BIN), jnp.uint8)
+        prev = jnp.zeros((CB, BIN), jnp.int32)
         for s in range(VC_LEN):
             m = (cb == s)
             e = jnp.dot(m.astype(jnp.bfloat16), tri,
                         preferred_element_type=jnp.float32).astype(jnp.int32)
             g = starts[s] + co[:, s]                     # [CB] run starts
             r0 = jnp.clip(g // BIN, 0, NB - 1)
-            w0 = jnp.take(bins, r0, axis=0)              # [CB, 128]
-            w1 = jnp.take(bins, jnp.clip(r0 + 1, 0, NB - 1), axis=0)
+            w0 = unpack(jnp.take(bins4, r0, axis=0))     # [CB, 128]
+            w1 = unpack(jnp.take(bins4, jnp.clip(r0 + 1, 0, NB - 1), axis=0))
             off = (g % BIN)[:, None] + e                 # in [0, 256)
             lo = jnp.take_along_axis(w0, jnp.clip(off, 0, BIN - 1), axis=1)
             hi = jnp.take_along_axis(
@@ -151,7 +174,7 @@ def _build_pair_stream_rowgather(bwt_padded, occ, starts, *, n):
             )
             val = jnp.where(off < BIN, lo, hi)
             prev = jnp.where(m, val, prev)
-        cp = ((cb.astype(jnp.int32) << 3) | prev.astype(jnp.int32))
+        cp = (cb << 3) | prev
         return jax.lax.dynamic_update_slice(ps, cp, (c * CB, 0))
 
     ps = jax.lax.fori_loop(

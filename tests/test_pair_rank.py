@@ -51,6 +51,40 @@ def test_pair_stream_is_bwt_and_lf(setup, rng):
     assert np.array_equal(ps[:n], want)
 
 
+def test_pair_stream_rowgather_matches_flat(setup, rng):
+    """The i32-packed row-gather stream variant (MSBWT_TPU_PAIR_FAST) must
+    produce the exact flat-gather stream, including with multiple chunks."""
+    from rust_msbwt_tpu.ops import pair_rank as pr
+
+    dec, index, pidx = setup
+    want = np.asarray(
+        pr._build_pair_stream_flat(index.bwt, index.occ, index.starts,
+                                   n=index.n)
+    )
+    got = np.asarray(
+        pr._build_pair_stream_rowgather(index.bwt, index.occ, index.starts,
+                                        n=index.n)
+    )
+    assert np.array_equal(got, want)
+    # force several chunks: shrink the trace-time chunk cap before the
+    # first trace at a fresh shape (jit re-traces per shape, so the
+    # patched value is read), then compare on a BWT spanning many bins
+    data = ["".join(rng.choice(list("ACGT"), size=60)) for _ in range(40)]
+    from rust_msbwt_tpu.ops.alphabet import convert_stoi as stoi
+    dec2 = np.asarray(stoi(naive_bwt(data)), np.uint8)
+    idx2 = build_occ_index(jnp.asarray(dec2))
+    flat = np.asarray(pr._build_pair_stream_flat(
+        idx2.bwt, idx2.occ, idx2.starts, n=idx2.n))
+    old = pr._ROWGATHER_CHUNK_BINS
+    try:
+        pr._ROWGATHER_CHUNK_BINS = 4
+        row = np.asarray(pr._build_pair_stream_rowgather(
+            idx2.bwt, idx2.occ, idx2.starts, n=idx2.n))
+    finally:
+        pr._ROWGATHER_CHUNK_BINS = old
+    assert np.array_equal(row, flat)
+
+
 @pytest.mark.parametrize("K", [1, 2, 3, 6, 11, 21])
 def test_pair_counts_match_single(setup, rng, K):
     dec, index, pidx = setup
