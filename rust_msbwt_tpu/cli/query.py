@@ -40,6 +40,11 @@ def main(argv=None) -> int:
         "--cache-k", type=int, default=0, metavar="K",
         help="precompute a 6^K prefix-range cache before querying",
     )
+    parser.add_argument(
+        "--index-pack", default=None, metavar="NPZ",
+        help="query-index sidecar: loaded if it exists, else derived "
+        "indexes are saved there for the next run",
+    )
     args = parser.parse_args(argv)
 
     from rust_msbwt_tpu.utils.jaxcache import enable_persistent_cache
@@ -77,7 +82,16 @@ def main(argv=None) -> int:
     except (OSError, IOError) as e:
         logger.error("Error loading BWT: %s", e)
         return EX_IOERR
-    if args.cache_k > 0:
+    pack_loaded = False
+    if args.index_pack and os.path.isfile(args.index_pack):
+        try:
+            bwt.load_query_indexes(args.index_pack)
+            pack_loaded = True
+            logger.info("Loaded query indexes from %r", args.index_pack)
+        except (OSError, IOError) as e:
+            logger.error("Bad index pack: %s", e)
+            return EX_IOERR
+    if args.cache_k > 0 and getattr(bwt, "_cache_k", 0) != args.cache_k:
         bwt.enable_kmer_cache(args.cache_k)
 
     K = max(len(k) for k in kmers_txt)
@@ -89,6 +103,12 @@ def main(argv=None) -> int:
         kmers[i, K - len(enc):] = enc
         lengths[i] = len(enc)
     counts = bwt.count_kmers(kmers, lengths)
+    if args.index_pack and not pack_loaded:
+        try:
+            bwt.save_query_indexes(args.index_pack)
+            logger.info("Saved query indexes to %r", args.index_pack)
+        except OSError as e:
+            logger.warning("Could not save index pack: %s", e)
     out = sys.stdout
     for txt, cnt in zip(kmers_txt, counts.tolist()):
         out.write(f"{txt}\t{cnt}\n")

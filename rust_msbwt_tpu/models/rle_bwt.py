@@ -211,6 +211,48 @@ class RleBWT(BWTBase):
 
         self._pair_index = build_pair_index(self.device_index)
 
+    def save_query_indexes(self, path: str) -> None:
+        """Persist every derived query index this engine has built (packed
+        table, pair index, k-mer cache) as one ``.npz`` sidecar — a query
+        service restarts with :meth:`load_query_indexes` instead of
+        re-deriving (``utils.checkpoint.save_query_pack``)."""
+        from rust_msbwt_tpu.utils.checkpoint import save_query_pack
+
+        save_query_pack(
+            path,
+            packed=self.packed_index,
+            pair=getattr(self, "_pair_index", None),
+            cache=getattr(self, "_kmer_cache", None),
+            cache_k=getattr(self, "_cache_k", 0) or 0,
+        )
+
+    def load_query_indexes(self, path: str) -> None:
+        """Install indexes saved by :meth:`save_query_indexes`. The pack is
+        validated against the loaded BWT (length + C array)."""
+        from rust_msbwt_tpu.utils.checkpoint import load_query_pack
+
+        packed, pair, cache, cache_k = load_query_pack(path)
+        src = packed if packed is not None else pair
+        if src is None:
+            raise IOError(f"empty query pack: {path!r}")
+        if int(src.n) != self.total_size:
+            raise IOError(
+                f"query pack is for a different BWT: n={int(src.n)} "
+                f"!= {self.total_size}"
+            )
+        want = np.concatenate([
+            self.start_index.astype(np.int64), [self.total_size]
+        ])
+        if not np.array_equal(np.asarray(src.starts, np.int64), want):
+            raise IOError("query pack C array mismatch (different BWT)")
+        if packed is not None:
+            self._packed_index = packed
+        if pair is not None:
+            self._pair_index = pair
+        if cache is not None:
+            self._kmer_cache = cache
+            self._cache_k = cache_k
+
     # past this size the single-step path falls under the pair path's
     # ~4.4M q/s plateau (measured: 8.9M q/s at 10M symbols, 1.56M at 101M;
     # pair is ~4.4M at both) — auto-build the pair index (0.1-1 s)

@@ -51,6 +51,98 @@ def load_index_cache(path: str):
         )
 
 
+_QUERY_PACK_FORMAT = "rust_msbwt_tpu.query_pack.v1"
+
+
+def save_query_pack(path: str, *, packed=None, pair=None, cache=None,
+                    cache_k: int = 0) -> None:
+    """Persist derived QUERY indexes (one ``.npz`` sidecar) so a query
+    service restart is a disk load instead of a re-derivation.
+
+    Any subset of the three index structures can be saved: ``packed``
+    (:class:`ops.packed_rank.PackedOccIndex`), ``pair``
+    (:class:`ops.pair_rank.PairIndex`) and ``cache``
+    (:class:`ops.rank.KmerCache`, with its ``cache_k``). The pack is
+    self-validating on load via the C array and BWT length.
+
+    Note: on the axon-tunneled dev chip the host link is ~40 MB/s, so
+    saving/loading multi-GB packs is slower than re-deriving on device
+    (~10 s at 505M symbols); on a directly-attached TPU host (PCIe) the
+    disk path wins.
+
+    >>> import tempfile, os
+    >>> from rust_msbwt_tpu.ops.alphabet import convert_stoi
+    >>> from rust_msbwt_tpu.ops.rank import build_occ_index
+    >>> from rust_msbwt_tpu.ops.packed_rank import pack_index, count_kmers_packed
+    >>> from rust_msbwt_tpu.utils.oracle import naive_bwt
+    >>> idx = build_occ_index(convert_stoi(naive_bwt(["ACGT", "TGCA"])))
+    >>> with tempfile.TemporaryDirectory() as td:
+    ...     p = os.path.join(td, "pack.npz")
+    ...     save_query_pack(p, packed=pack_index(idx))
+    ...     packed, pair, cache, ck = load_query_pack(p)
+    >>> int(count_kmers_packed(packed, convert_stoi("ACGT"))[0])
+    1
+    """
+    if packed is None and pair is None:
+        raise ValueError("save_query_pack needs at least packed= or pair=")
+    src = packed if packed is not None else pair
+    arrays = {
+        "format": np.asarray(_QUERY_PACK_FORMAT),
+        "n": np.int64(src.n),
+        "starts": np.asarray(src.starts),
+    }
+    if packed is not None:
+        arrays["packed_table"] = np.asarray(packed.table)
+    if pair is not None:
+        if int(pair.n) != int(src.n):
+            raise ValueError("packed/pair index n mismatch")
+        arrays["pair_table2"] = np.asarray(pair.table2)
+        arrays["pair_dmat"] = np.asarray(pair.dmat)
+    if cache is not None:
+        if cache_k <= 0:
+            raise ValueError("cache= requires cache_k > 0")
+        arrays["cache_lo"] = np.asarray(cache.lo)
+        arrays["cache_hi"] = np.asarray(cache.hi)
+        arrays["cache_k"] = np.int64(cache_k)
+    np.savez(path, **arrays)
+
+
+def load_query_pack(path: str):
+    """Load a :func:`save_query_pack` sidecar.
+
+    Returns ``(packed, pair, cache, cache_k)`` — members are ``None`` / 0
+    when absent from the pack. Arrays land on the default device.
+    """
+    import jax.numpy as jnp
+
+    from rust_msbwt_tpu.ops.packed_rank import PackedOccIndex
+    from rust_msbwt_tpu.ops.pair_rank import PairIndex
+    from rust_msbwt_tpu.ops.rank import KmerCache
+
+    with np.load(path) as z:
+        if str(z["format"]) != _QUERY_PACK_FORMAT:
+            raise IOError(f"not a query pack: {path!r} ({z['format']})")
+        n = int(z["n"])
+        starts = jnp.asarray(z["starts"])
+        packed = pair = cache = None
+        cache_k = 0
+        if "packed_table" in z:
+            packed = PackedOccIndex(
+                table=jnp.asarray(z["packed_table"]), starts=starts, n=n
+            )
+        if "pair_table2" in z:
+            pair = PairIndex(
+                table2=jnp.asarray(z["pair_table2"]), starts=starts,
+                dmat=jnp.asarray(z["pair_dmat"]), n=n,
+            )
+        if "cache_lo" in z:
+            cache = KmerCache(
+                lo=jnp.asarray(z["cache_lo"]), hi=jnp.asarray(z["cache_hi"])
+            )
+            cache_k = int(z["cache_k"])
+    return packed, pair, cache, cache_k
+
+
 def save_sharded(decoded: np.ndarray, directory: str, n_shards: int) -> None:
     """Split a decoded BWT into ``n_shards`` contiguous slices, each saved as
     a standalone ``comp_msbwt.npy``, plus ``manifest.json`` with boundaries

@@ -31,6 +31,60 @@ def test_index_cache_roundtrip(tmp_path, decoded):
     assert count_kmers(loaded, kmers).tolist() == count_kmers(index, kmers).tolist()
 
 
+def test_query_pack_roundtrip(tmp_path, decoded):
+    """Full query pack (packed + pair + cache) restores every batched path."""
+    import jax.numpy as jnp
+
+    from rust_msbwt_tpu.ops.packed_rank import count_kmers_packed, pack_index
+    from rust_msbwt_tpu.ops.pair_rank import build_pair_index, count_kmers_pair
+    from rust_msbwt_tpu.ops.rank import build_kmer_cache
+
+    index = build_occ_index(jnp.asarray(decoded))
+    packed = pack_index(index)
+    pair = build_pair_index(index)
+    cache = build_kmer_cache(index.bwt, index.occ, index.starts, index.n, 3)
+    p = str(tmp_path / "pack.npz")
+    checkpoint.save_query_pack(p, packed=packed, pair=pair, cache=cache,
+                               cache_k=3)
+    lp, lpair, lcache, ck = checkpoint.load_query_pack(p)
+    assert ck == 3
+    kmers = np.array([convert_stoi("ACG"), convert_stoi("GTA")], np.uint8)
+    want = count_kmers(index, kmers).tolist()
+    assert count_kmers_packed(lp, kmers).tolist() == want
+    assert count_kmers_pair(lpair, kmers).tolist() == want
+    assert count_kmers_pair(lpair, kmers, cache=lcache, cache_k=ck).tolist() \
+        == want
+
+
+def test_query_pack_on_rle_bwt(tmp_path, decoded):
+    """RleBWT.save_query_indexes / load_query_indexes round-trip, plus the
+    mismatched-BWT guard."""
+    from rust_msbwt_tpu.models.rle_bwt import RleBWT
+    from rust_msbwt_tpu.ops.rle import bytes_from_runs, runs_from_symbols
+
+    rle = bytes_from_runs(*runs_from_symbols(decoded))
+    a = RleBWT()
+    a.load_vector(rle)
+    a.enable_pair_index()
+    a.enable_kmer_cache(3)
+    p = str(tmp_path / "pack.npz")
+    a.save_query_indexes(p)
+
+    b = RleBWT()
+    b.load_vector(rle)
+    b.load_query_indexes(p)
+    assert b._pair_index is not None and b._cache_k == 3
+    kmers = np.array([convert_stoi("ACG"), convert_stoi("CGT")], np.uint8)
+    assert b.count_kmers(kmers).tolist() == a.count_kmers(kmers).tolist()
+
+    other = RleBWT()
+    other.load_vector(bytes_from_runs(*runs_from_symbols(
+        np.asarray(convert_stoi(naive_bwt(["ACGT", "AAAA"])), np.uint8)
+    )))
+    with pytest.raises(IOError):
+        other.load_query_indexes(p)
+
+
 def test_sharded_checkpoint_roundtrip(tmp_path, decoded):
     d = str(tmp_path / "shards")
     checkpoint.save_sharded(decoded, d, 4)

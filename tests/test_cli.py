@@ -98,6 +98,27 @@ def test_query_cli_from_file(tmp_path, capsys):
     assert lines == ["ACGT\t1", "CA\t1"]
 
 
+def test_query_cli_index_pack(tmp_path, capsys):
+    """--index-pack saves derived indexes on the first run and loads them
+    (skipping derivation) on the second; results identical."""
+    from rust_msbwt_tpu.cli.query import main as query_main
+
+    out = tmp_path / "q.npy"
+    assert build_main(["-o", str(out), GOLDEN_FA]) == 0
+    pack = tmp_path / "q.indexes.npz"
+    args = [str(out), "ACGT", "TGCA", "$", "--cache-k", "2",
+            "--index-pack", str(pack)]
+    assert query_main(args) == 0
+    first = capsys.readouterr().out
+    assert pack.is_file()
+    assert query_main(args) == 0
+    assert capsys.readouterr().out == first == "ACGT\t1\nTGCA\t1\n$\t2\n"
+    # a pack from a different BWT is rejected with IOERR (74)
+    other = tmp_path / "other.npy"
+    assert build_main(["-o", str(other), GOLDEN_FA, GOLDEN_FA]) == 0
+    assert query_main([str(other), "ACGT", "--index-pack", str(pack)]) == 74
+
+
 def test_query_cli_missing_bwt():
     from rust_msbwt_tpu.cli.query import main as query_main
 
