@@ -48,6 +48,42 @@ from rust_msbwt_tpu.ops.rank import rank as _rank
 
 _PAD = 7  # padding symbol for the BWT buffer (never matches 0..5)
 
+# nibble-pack symbol uploads past this size: the host link is the build's
+# serial prefix (~40 MB/s through the axon tunnel), symbols are < 8, so two
+# ride per byte. Disable with MSBWT_TPU_NO_WIRE_PACK=1.
+_WIRE_PACK_MIN_BYTES = 64 << 20
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def _unpack_wire(packed, *, n):
+    # split-half layout: low nibbles are elements [0, h), high nibbles
+    # [h, 2h) — a concat of two shifts, NO interleave (a [m, 2] stack
+    # intermediate would tile-pad 64x in TPU compute layouts)
+    lo = packed & jnp.uint8(0xF)
+    hi = packed >> jnp.uint8(4)
+    return jnp.concatenate([lo, hi])[:n]
+
+
+def _upload_symbols(view):
+    """Host->device upload of a u8 symbol array; big arrays are nibble-
+    packed two-symbols-per-byte on the wire (split-half layout) and
+    unpacked in one device pass."""
+    import os
+
+    if not isinstance(view, np.ndarray):
+        return jnp.asarray(view)  # already on device
+    if (view.nbytes < _WIRE_PACK_MIN_BYTES
+            or os.environ.get("MSBWT_TPU_NO_WIRE_PACK")):
+        return jnp.asarray(view)
+    flat = view.reshape(-1)
+    n = flat.size
+    h = (n + 1) // 2
+    lo = flat[:h]
+    hi = np.zeros(h, np.uint8)
+    hi[: n - h] = flat[h:]
+    packed = lo | (hi << 4)
+    return _unpack_wire(jnp.asarray(packed), n=n).reshape(view.shape)
+
 
 # ---------------------------------------------------------------------------
 # host-facing API
@@ -128,7 +164,7 @@ def _prepare_build(reads, lengths, sorted_insert, base, base_string_count,
     if isinstance(base, np.ndarray):
         base = np.asarray(base, dtype=np.uint8)
         validate_bwt(base)
-        base = jnp.asarray(base)
+        base = _upload_symbols(base)
     # else: device-resident base (streaming extend) — stays on device
     n0 = int(base.shape[0])
     if N == 0:
@@ -221,7 +257,7 @@ def build_msbwt(
             and p["L"] >= 8):
         # large build: bucketed capacity growth (see bucket_schedule)
         out = _bcr_insert_bucketed(
-            p["base"], jnp.asarray(p["q1"]), jnp.asarray(p["host_view"]),
+            p["base"], jnp.asarray(p["q1"]), _upload_symbols(p["host_view"]),
             jnp.asarray(p["lengths"]), p["base_counts"],
             n0=p["n0"], n_cap=p["n_cap"], L=p["L"], N=p["N"],
             n_strings_total=p["n_strings_total"], interpret=p["interpret"],
@@ -229,7 +265,7 @@ def build_msbwt(
         )
     else:
         out = _bcr_insert(
-            p["base"], jnp.asarray(p["q1"]), jnp.asarray(p["host_view"]),
+            p["base"], jnp.asarray(p["q1"]), _upload_symbols(p["host_view"]),
             jnp.asarray(p["lengths"]), p["base_counts"],
             n0=p["n0"], n_cap=p["n_cap"], L=p["L"],
             n_strings_total=p["n_strings_total"], engine=p["engine"],
@@ -880,7 +916,7 @@ def build_msbwt_with_index(
         return idx, pack_index(idx)
     if p["engine"] != "pallas":
         out = _bcr_insert(
-            p["base"], jnp.asarray(p["q1"]), jnp.asarray(p["host_view"]),
+            p["base"], jnp.asarray(p["q1"]), _upload_symbols(p["host_view"]),
             jnp.asarray(p["lengths"]), p["base_counts"],
             n0=p["n0"], n_cap=p["n_cap"], L=p["L"],
             n_strings_total=p["n_strings_total"], engine=p["engine"],
@@ -890,7 +926,7 @@ def build_msbwt_with_index(
         return idx, pack_index(idx)
     if p["n_cap"] >= _BUCKET_MIN_SYMBOLS and p["L"] >= 8:
         carry = _bcr_insert_bucketed(
-            p["base"], jnp.asarray(p["q1"]), jnp.asarray(p["host_view"]),
+            p["base"], jnp.asarray(p["q1"]), _upload_symbols(p["host_view"]),
             jnp.asarray(p["lengths"]), p["base_counts"],
             n0=p["n0"], n_cap=p["n_cap"], L=p["L"], N=p["N"],
             n_strings_total=p["n_strings_total"], interpret=p["interpret"],
@@ -898,7 +934,7 @@ def build_msbwt_with_index(
         )
     else:
         carry = _bcr_insert_pallas_carry(
-            p["base"], jnp.asarray(p["q1"]), jnp.asarray(p["host_view"]),
+            p["base"], jnp.asarray(p["q1"]), _upload_symbols(p["host_view"]),
             jnp.asarray(p["lengths"]), p["base_counts"],
             n0=p["n0"], n_cap=p["n_cap"], L=p["L"],
             n_strings_total=p["n_strings_total"], interpret=p["interpret"],

@@ -205,3 +205,37 @@ def test_radix2_with_index(monkeypatch, rng):
     want = pack_index(build_occ_index(jnp.asarray(decoded)))
     idx, packed = build_msbwt_with_index(reads, lengths, engine="pallas")
     assert np.array_equal(np.asarray(packed.table), np.asarray(want.table))
+
+
+def test_wire_packed_upload_byte_identical(rng):
+    """The nibble-packed host->device upload path (split-half layout) must
+    be invisible: builds with the threshold forced to 0 equal the plain
+    uploads, for odd and even view sizes and the extend flow."""
+    from rust_msbwt_tpu.ops import bcr
+
+    reads = [
+        "".join(rng.choice(list("ACGT"), size=int(k)))
+        for k in rng.integers(3, 12, size=17)
+    ]
+    enc, lengths = encode_reads([convert_stoi(s) for s in reads])
+    want = build_msbwt(enc, lengths)
+    old = bcr._WIRE_PACK_MIN_BYTES
+    try:
+        bcr._WIRE_PACK_MIN_BYTES = 0
+        got = build_msbwt(enc, lengths)
+        # extend: base upload also rides the packed path
+        extra, el = encode_reads([convert_stoi("GATTACA")])
+        ext = build_msbwt(extra, el, base=np.asarray(got),
+                          base_string_count=len(reads))
+    finally:
+        bcr._WIRE_PACK_MIN_BYTES = old
+    assert got.tolist() == want.tolist()
+    assert convert_itos(ext) == naive_bwt(reads + ["GATTACA"])
+    # raw unpack round-trip at an odd length
+    flat = rng.integers(0, 6, size=1001).astype(np.uint8)
+    try:
+        bcr._WIRE_PACK_MIN_BYTES = 0
+        up = np.asarray(bcr._upload_symbols(flat))
+    finally:
+        bcr._WIRE_PACK_MIN_BYTES = old
+    assert up.tolist() == flat.tolist()
