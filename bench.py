@@ -166,35 +166,50 @@ def run_large(reps: int = 3) -> dict:
         out = run()
     int(np.asarray(out[0]))
     q_dev = (time.perf_counter() - t0) / qreps
+    from rust_msbwt_tpu.ops.rank import fetch_counts
+
     t0 = time.perf_counter()
-    counts = np.asarray(run())
+    counts = fetch_counts(run())  # u16 compact copy when counts allow
     q_full = time.perf_counter() - t0
     log(f"[large] queries: {B / q_dev / 1e6:.2f}M q/s device "
         f"({B / q_full / 1e6:.2f}M incl result copy); mean count "
         f"{counts.mean():.1f}")
 
-    # deep 6^10 cache: 2 fewer pair rounds per 21-mer (7 -> 6), measured
-    # +16% at 505M for a ~8 s one-time build (484 MB)
-    t0 = time.perf_counter()
-    cache10 = build_kmer_cache(idx.bwt, idx.occ, idx.starts, idx.n, 10)
-    int(np.asarray(cache10.lo[0]))
-    cache10_s = time.perf_counter() - t0
+    # deep-cache ladder: rounds per 21-mer = ceil((21 - cache_k) / 2), so
+    # 6^9 (80 MB, ~1 s) already hits the 6-round count a 6^10 cache pays
+    # 484 MB / ~8 s for, and 6^11 (2.9 GB) buys the 5-round count. Each
+    # tier is guarded — an OOM or compile failure drops that tier only.
+    deep = {}
+    best_q = q_dev
+    for ck in (9, 11):
+        try:
+            t0 = time.perf_counter()
+            dcache = build_kmer_cache(idx.bwt, idx.occ, idx.starts, idx.n, ck)
+            int(np.asarray(dcache.lo[0]))
+            dbuild = time.perf_counter() - t0
 
-    def run10():
-        return _count_kmers_pair_impl(
-            pidx.table2, pidx.starts, pidx.dmat, pidx.n, kmers, qlens,
-            cache=cache10, cache_k=10,
-        )
+            def rund():
+                return _count_kmers_pair_impl(
+                    pidx.table2, pidx.starts, pidx.dmat, pidx.n, kmers, qlens,
+                    cache=dcache, cache_k=ck,
+                )
 
-    out = run10()
-    int(np.asarray(out[0]))
-    t0 = time.perf_counter()
-    for _ in range(qreps):
-        out = run10()
-    int(np.asarray(out[0]))
-    q10_dev = (time.perf_counter() - t0) / qreps
-    log(f"[large] 6^10 cache: build {cache10_s:.1f}s, queries "
-        f"{B / q10_dev / 1e6:.2f}M q/s device")
+            out = rund()
+            int(np.asarray(out[0]))
+            t0 = time.perf_counter()
+            for _ in range(qreps):
+                out = rund()
+            int(np.asarray(out[0]))
+            qd = (time.perf_counter() - t0) / qreps
+            log(f"[large] 6^{ck} cache: build {dbuild:.1f}s, queries "
+                f"{B / qd / 1e6:.2f}M q/s device")
+            deep[f"cache{ck}_seconds"] = round(dbuild, 2)
+            deep[f"query_qps_device_cache{ck}"] = round(B / qd)
+            best_q = min(best_q, qd)
+            del dcache
+        except Exception as e:
+            log(f"[large] 6^{ck} cache failed: {type(e).__name__}: {e}")
+            deep[f"cache{ck}_error"] = f"{type(e).__name__}"
     return {
         "bwt_symbols": int(idx.n),
         "dispatch_roundtrip_ms": round(dispatch_ms, 2),
@@ -207,10 +222,9 @@ def run_large(reps: int = 3) -> dict:
         "build_mbases_per_s": round(n_bases / med / 1e6, 2),
         "pair_index_seconds": round(pair_s, 2),
         "cache_seconds": round(cache_s, 2),
-        "query_qps_device": round(B / min(q_dev, q10_dev)),
+        "query_qps_device": round(B / best_q),
         "query_qps_device_cache8": round(B / q_dev),
-        "query_qps_device_cache10": round(B / q10_dev),
-        "cache10_seconds": round(cache10_s, 2),
+        **deep,
         "query_qps_with_result_copy": round(B / q_full),
         "query_batch": B,
         "k": K,

@@ -28,6 +28,7 @@ import numpy as np
 
 from rust_msbwt_tpu.ops.alphabet import VC_LEN
 from rust_msbwt_tpu.ops.rank import BIN, OccIndex
+from rust_msbwt_tpu.ops.rank import fetch_counts as rank_fetch_counts
 
 ROW = 32  # int32 lanes per packed bin row
 
@@ -178,4 +179,4 @@ def count_kmers_packed(index: PackedOccIndex, kmers, lengths=None, cache=None,
         index.table, index.starts, index.n,
         jnp.asarray(kmers), jnp.asarray(lengths), cache=cache, cache_k=cache_k,
     )
-    return np.asarray(out)
+    return rank_fetch_counts(out)

@@ -49,7 +49,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from rust_msbwt_tpu.ops.alphabet import VC_LEN
-from rust_msbwt_tpu.ops.rank import BIN, OccIndex
+from rust_msbwt_tpu.ops.rank import BIN, OccIndex, fetch_counts
 
 PAIR_LANES = 48     # shift-packed codes (s << 3) | prev, s/prev in 0..5
 _PAD_PAIR = 63      # never matches a real code (real max = 0b101101 = 45)
@@ -399,4 +399,4 @@ def count_kmers_pair(pidx: PairIndex, kmers, lengths=None, cache=None,
         jnp.asarray(kmers), jnp.asarray(lengths),
         cache=cache, cache_k=cache_k,
     )
-    return np.asarray(out)
+    return fetch_counts(out)

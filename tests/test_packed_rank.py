@@ -80,3 +80,25 @@ def test_rank_at_bin_multiple_boundary():
             want = int((syms == s).sum())
             got = int(rank_packed(pidx.table, jnp.array([s]), jnp.array([n]))[0])
             assert got == want, (n, s)
+
+
+def test_fetch_counts_compact_and_overflow(monkeypatch):
+    """The u16 compact result copy is lossless: small counts ride the half-
+    width path; a count past 65535 is detected via the carried max and
+    falls back to the full-width copy."""
+    import jax.numpy as jnp
+
+    from rust_msbwt_tpu.ops import rank as R
+
+    monkeypatch.setattr(R, "_COMPACT_MIN_B", 1)
+    # 70,000 'A' symbols: count('A') overflows u16
+    dec = np.ones(70_000, np.uint8)
+    idx = R.build_occ_index(jnp.asarray(dec))
+    kmers = np.array([[1], [2]], np.uint8)
+    out = R.count_kmers(idx, kmers)
+    assert out.tolist() == [70_000, 0]
+    assert out.dtype == np.int64
+    # non-overflow batch: compact result equals the full-width result
+    monkeypatch.setenv("MSBWT_TPU_NO_COMPACT", "1")
+    full = R.count_kmers(idx, kmers)
+    assert full.tolist() == out.tolist()
