@@ -337,6 +337,14 @@ class DynamicBWT(BWTBase):
 
         from rust_msbwt_tpu.models.rle_bwt import RleBWT
 
+        if (
+            not self._cache_k
+            and self.get_total_size() >= RleBWT.PAIR_AUTO_MIN_SYMBOLS
+            and not os.environ.get("MSBWT_TPU_NO_CACHE")
+        ):
+            # big indexes get the 6^9 prefix cache with the pair index
+            # (~1 s one-time, measured +70% q/s at 505M)
+            self._cache_k = RleBWT.CACHE_AUTO_K
         cache = self._ensure_kmer_cache()
         if (
             self.get_total_size() >= RleBWT.PAIR_AUTO_MIN_SYMBOLS

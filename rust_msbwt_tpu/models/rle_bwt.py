@@ -257,11 +257,16 @@ class RleBWT(BWTBase):
     # ~4.4M q/s plateau (measured: 8.9M q/s at 10M symbols, 1.56M at 101M;
     # pair is ~4.4M at both) — auto-build the pair index (0.1-1 s)
     PAIR_AUTO_MIN_SYMBOLS = 32_000_000
+    # cache tier auto-built alongside the pair index: 6^9 is the sweet spot
+    # for 21-mers — rounds = ceil((21-k)/2) equals the 6^10 tier's count at
+    # 80 MB / ~1 s (measured +70% q/s at 505M over cache-less pair search)
+    CACHE_AUTO_K = 9
 
     def count_kmers(self, kmers, lengths=None) -> np.ndarray:
         """Batched device path — the production query engine. Indexes past
         ``PAIR_AUTO_MIN_SYMBOLS`` automatically build and use the 2-step
-        pair index (disable with ``MSBWT_TPU_NO_PAIR=1``)."""
+        pair index plus a 6^9 prefix-range cache (disable with
+        ``MSBWT_TPU_NO_PAIR=1`` / ``MSBWT_TPU_NO_CACHE=1``)."""
         import os
 
         if (
@@ -270,6 +275,12 @@ class RleBWT(BWTBase):
             and not os.environ.get("MSBWT_TPU_NO_PAIR")
         ):
             self.enable_pair_index()
+        if (
+            not getattr(self, "_cache_k", 0)
+            and self.total_size >= self.PAIR_AUTO_MIN_SYMBOLS
+            and not os.environ.get("MSBWT_TPU_NO_CACHE")
+        ):
+            self.enable_kmer_cache(self.CACHE_AUTO_K)
         if getattr(self, "_pair_index", None) is not None:
             from rust_msbwt_tpu.ops.pair_rank import count_kmers_pair
 

@@ -115,3 +115,54 @@ def test_fused_cache_equals_chained_levels(setup):
                                  cache_k=k)
     assert np.array_equal(np.asarray(flo), np.asarray(lo))
     assert np.array_equal(np.asarray(fhi), np.asarray(hi))
+
+
+def test_auto_cache_on_big_index(setup, monkeypatch):
+    """Indexes past PAIR_AUTO_MIN_SYMBOLS auto-build both the pair index and
+    the CACHE_AUTO_K prefix cache; MSBWT_TPU_NO_CACHE opts out of the cache
+    while keeping the pair index (ref engine always queries cold:
+    src/rle_bwt.rs:202-287)."""
+    data, decoded, index = setup
+    payload = bytes_from_runs(*runs_from_symbols(np.asarray(decoded, np.uint8)))
+    kmers = np.stack([convert_stoi(s[:8]) for s in data[:12]])
+
+    baseline = RleBWT()
+    baseline.load_vector(payload)
+    expect = baseline.count_kmers(kmers).tolist()
+
+    monkeypatch.setattr(RleBWT, "PAIR_AUTO_MIN_SYMBOLS", 1)
+    monkeypatch.setattr(RleBWT, "CACHE_AUTO_K", 3)
+
+    bwt = RleBWT()
+    bwt.load_vector(payload)
+    assert bwt.count_kmers(kmers).tolist() == expect
+    assert bwt._pair_index is not None
+    assert bwt._cache_k == 3
+
+    monkeypatch.setenv("MSBWT_TPU_NO_CACHE", "1")
+    bwt2 = RleBWT()
+    bwt2.load_vector(payload)
+    assert bwt2.count_kmers(kmers).tolist() == expect
+    assert bwt2._pair_index is not None
+    assert not bwt2._cache_k
+
+
+def test_auto_cache_dynamic(setup, monkeypatch):
+    """DynamicBWT gets the same auto cache+pair treatment on big indexes."""
+    from rust_msbwt_tpu.models.dynamic import DynamicBWT
+
+    data, decoded, index = setup
+    payload = bytes_from_runs(*runs_from_symbols(np.asarray(decoded, np.uint8)))
+    kmers = np.stack([convert_stoi(s[:8]) for s in data[:12]])
+
+    baseline = RleBWT()
+    baseline.load_vector(payload)
+    expect = baseline.count_kmers(kmers).tolist()
+
+    monkeypatch.setattr(RleBWT, "PAIR_AUTO_MIN_SYMBOLS", 1)
+    monkeypatch.setattr(RleBWT, "CACHE_AUTO_K", 2)
+
+    dyn = DynamicBWT()
+    dyn.load_vector(payload)
+    assert dyn.count_kmers(kmers).tolist() == expect
+    assert dyn._cache_k == 2
