@@ -76,3 +76,72 @@ def test_pairwise_merge_wide_mode():
         pairwise_bwt_merge(ai, bi, force_wide=True),
         pairwise_bwt_merge(ai, bi),
     )
+
+
+def test_doubling_multiway_vs_oracle(rng):
+    """One-shot doubling merge == naive oracle over random D-way splits,
+    including duplicate strings across and within sources (tie order)."""
+    from rust_msbwt_tpu.ops.merge import multiway_bwt_merge
+
+    alpha = list("ACGNT")
+    for _ in range(8):
+        d = int(rng.integers(2, 7))
+        groups = []
+        for _ in range(d):
+            strs = ["".join(rng.choice(alpha, size=int(rng.integers(1, 12))))
+                    for _ in range(int(rng.integers(1, 6)))]
+            groups.append(strs)
+        # inject duplicates: same string in two sources and twice in one
+        groups[0].append("ACGT")
+        groups[-1].append("ACGT")
+        groups[0].append("ACGT")
+        got = multiway_bwt_merge([_bwt_of(g) for g in groups])
+        assert convert_itos(got) == naive_bwt([s for g in groups for s in g])
+
+
+def test_doubling_equals_tree_and_sources():
+    """Doubling == pairwise tree byte-for-byte; source ids reconstruct the
+    pairwise interleave."""
+    import os
+
+    from rust_msbwt_tpu.ops.merge import merge_interleave, multiway_bwt_merge
+
+    groups = [["ACG", "T", "ACG"], ["CCGT", "ACG"], ["N", "NA"], ["GATTACA"]]
+    parts = [_bwt_of(g) for g in groups]
+    os.environ["MSBWT_TPU_MERGE"] = "tree"
+    try:
+        tree = kway_merge(parts)
+    finally:
+        os.environ.pop("MSBWT_TPU_MERGE", None)
+    got, srcs = multiway_bwt_merge(parts, return_sources=True)
+    assert got.tolist() == tree.tolist()
+    # pairwise: source ids vs the H-M interleave vector
+    a, b = parts[0], parts[1]
+    inter = merge_interleave(a, b)
+    _, src2 = multiway_bwt_merge([a, b], return_sources=True)
+    assert (src2 == 0).tolist() == inter.tolist()
+
+
+def test_doubling_wide_mode():
+    """Forced-int64 doubling merge == int32 doubling merge."""
+    from rust_msbwt_tpu.ops.merge import multiway_bwt_merge
+
+    rng = np.random.default_rng(77)
+    alpha = list("ACGNT")
+    groups = [["".join(rng.choice(alpha, size=9)) for _ in range(4)]
+              for _ in range(3)]
+    parts = [_bwt_of(g) for g in groups]
+    narrow = multiway_bwt_merge(parts)
+    wide = multiway_bwt_merge(parts, force_wide=True)
+    assert narrow.tolist() == wide.tolist()
+    assert convert_itos(narrow) == naive_bwt([s for g in groups for s in g])
+
+
+def test_doubling_single_and_empty_sources():
+    from rust_msbwt_tpu.ops.merge import multiway_bwt_merge
+
+    one = _bwt_of(["GATTACA"])
+    assert multiway_bwt_merge([one]).tolist() == one.tolist()
+    got = multiway_bwt_merge([np.zeros(0, np.uint8), one])
+    assert got.tolist() == one.tolist()
+    assert multiway_bwt_merge([]).size == 0
