@@ -113,6 +113,51 @@ def measured_rounds(parts):
     return rounds
 
 
+def doubling_rounds(parts):
+    """Host replication of the prefix-doubling fixpoint
+    (``parallel.doubling_merge``) — counts its while_loop trips."""
+    syms = np.concatenate([np.asarray(p, np.uint8) for p in parts])
+    n = syms.size
+    src = np.concatenate(
+        [np.full(p.size, i) for i, p in enumerate(parts)]
+    )
+    psi = np.lexsort((syms, src))          # stable (src, sym) sort = LF^-1
+    fsym = syms[psi].astype(np.int64)
+    pref = np.zeros(7, np.int64)
+    np.add.at(pref[1:], fsym, 1)
+    pref = np.cumsum(pref)
+    rank = pref[fsym]                       # position-style, by first symbol
+    S = psi
+    rounds = 0
+    while True:
+        key = rank * (n + 1) + rank[S]
+        order = np.argsort(key, kind="stable")
+        ks = key[order]
+        starts = np.empty(n, np.int64)
+        starts[0] = 0
+        idx = np.arange(1, n)
+        starts[1:] = np.where(ks[1:] != ks[:-1], idx, 0)
+        new_rank = np.empty(n, np.int64)
+        new_rank[order] = np.maximum.accumulate(starts)
+        rounds += 1
+        if np.array_equal(new_rank, rank):
+            return rounds
+        rank = new_rank
+        S = S[S]
+
+
+def doubling_volumes(n: int, d: int, rounds: int):
+    """Per-device exchanged elements for the distributed doubling merge
+    (``parallel.doubling_merge``), from its exchange structure: each round
+    = 2 permutation gathers (4 scatters x 2 arrays) + 1 PSRS pass (3 key
+    arrays + 2-array rank scatter-back); prep ships psi (2 arrays), the
+    final pass adds a perm scatter and 2 output gathers."""
+    blk = -(-n // d)
+    per_round = (2 * 4 + 5) * blk
+    fixed = (2 + 7 + 2 * 4) * blk
+    return rounds * per_round + fixed
+
+
 def main():
     from rust_msbwt_tpu.ops.bcr import build_msbwt, encode_reads
 
@@ -137,6 +182,19 @@ def main():
     n = sum(g.size for g in groups)
     print(f"\nmerge refinement rounds to fixpoint (n={n}): {rounds} "
           f"(bound: max rotation period = 61)")
+    dbl_rounds = doubling_rounds(groups)
+    print(f"prefix-doubling rounds to fixpoint (same data): {dbl_rounds} "
+          f"(bound: ceil(log2 61) + 1 = 7)")
+    dbl_vol = doubling_volumes(n, 8, dbl_rounds)
+    hm_vol = rounds * merge_volumes(groups, 8)[1]
+    print(f"total exchanged elements/device: doubling {dbl_vol} vs "
+          f"H-M ragged {hm_vol} — on this low-coverage toy H-M converges "
+          f"early ({rounds} << period bound 61) and wins; the crossover is "
+          f"~{(13 * dbl_rounds + 17) // 3} H-M rounds. High-coverage real "
+          "read sets hit the period bound (duplicate reads share full-"
+          "length rotations), where doubling ships "
+          f"{101 * 3 / (13 * 8 + 17):.1f}x less and syncs "
+          f"{101 * 3 // (8 * 13)}x fewer times at 100 bp.")
 
     print("\n== weak-scaling efficiency model (v5e pod, per-chip load fixed) ==")
     print("path: counting queries via PARTITIONED indexes (the scaling path:")
@@ -154,12 +212,19 @@ def main():
         t_comp = n_per / BUILD_RATE
         rounds_est = 101  # max rotation period for 100bp reads
         t_comm = rounds_est * (3 * n_per * 4) / ICI_BW
+        dbl_r = int(np.ceil(np.log2(101))) + 1
+        t_dbl = (dbl_r * 13 + 17) * n_per * 4 / ICI_BW
         eff = t_comp / (t_comp + t_comm)
-        print(f"  D={d:>3}: efficiency {eff:.1%} "
-              f"(merge comm {t_comm:.1f}s vs compute {t_comp:.1f}s)")
+        eff_d = t_comp / (t_comp + t_dbl)
+        print(f"  D={d:>3}: H-M efficiency {eff:.1%} "
+              f"(comm {t_comm:.1f}s), doubling {eff_d:.1%} "
+              f"(comm {t_dbl:.1f}s) vs compute {t_comp:.1f}s")
     print("  (dense transport at D=8 would ship "
           f"{(101 * (8 * n_per + 2 * 8 * n_per) * 4) / ICI_BW:.0f}s of traffic "
           "per device — the ragged transport is what makes ≥80% reachable)")
+    print("  long reads (1 kb): H-M needs ~1001 rounds, doubling ~12 — "
+          f"comm {1001 * 3 * n_per * 4 / ICI_BW:.0f}s vs "
+          f"{(12 * 13 + 17) * n_per * 4 / ICI_BW:.0f}s per device")
 
 
 if __name__ == "__main__":
