@@ -26,6 +26,50 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+# --- watchdog: the axon tunnel can hang indefinitely at backend attach or
+# mid-dispatch (observed: jax.devices() blocked > 10 min during an outage).
+# The driver contract is ONE JSON line on stdout; a silent hang yields
+# nothing. The watchdog emits a fallback line (with any partial numbers
+# measured so far) and hard-exits if the bench overruns its deadline.
+_PARTIAL: dict = {}
+_DONE = False
+
+
+def emit(obj) -> None:
+    global _DONE
+    _DONE = True
+    print(json.dumps(obj), flush=True)
+
+
+def _start_watchdog() -> None:
+    import os
+    import threading
+
+    deadline = float(os.environ.get("MSBWT_BENCH_DEADLINE_S", "2400"))
+
+    def fire():
+        if _DONE:
+            return
+        log(f"[watchdog] bench exceeded {deadline:.0f}s — emitting partial "
+            "result (tunnel hang?)")
+        emit({
+            "metric": "kmer count queries/s/chip (1M x 21-mers, "
+                      "10k x 100bp reads)",
+            "value": _PARTIAL.get("qps", 0),
+            "unit": "queries/s",
+            "vs_baseline": _PARTIAL.get("vs_baseline", 0),
+            "extra": {
+                "error": f"watchdog timeout after {deadline:.0f}s",
+                **_PARTIAL,
+            },
+        })
+        os._exit(3)
+
+    t = threading.Timer(deadline, fire)
+    t.daemon = True
+    t.start()
+
+
 def make_reads(n_reads=10_000, read_len=100, seed=0xBEEF):
     rng = np.random.default_rng(seed)
     # genome-derived reads so k-mer queries hit real repeat structure
@@ -312,6 +356,7 @@ def main():
     int(np.asarray(out[0]))
     query_s = (time.perf_counter() - t0) / reps
     qps = B / query_s
+    _PARTIAL["qps"] = round(qps)
     counts = np.asarray(out)
     log(f"query: {B} x {K}-mers in {query_s * 1e3:.2f} ms -> {qps:,.0f} q/s "
         f"(mean count {counts.mean():.2f}, nonzero {(counts > 0).mean():.2%})")
@@ -343,6 +388,7 @@ def main():
     else:
         baseline_kind = "native-cpp-1thread"
     cpu_qps = n_cpu / cpu_s
+    _PARTIAL["vs_baseline"] = round(qps / cpu_qps, 2)
     assert cpu_counts.tolist() == counts[:n_cpu].tolist(), \
         "device/baseline count mismatch"
     log(f"native baseline ({baseline_kind}): {cpu_qps:,.0f} q/s ({n_cpu} queries)")
@@ -373,7 +419,7 @@ def main():
             log(f"large config failed: {type(e).__name__}: {e}")
             large = {"error": f"{type(e).__name__}: {e}"}
 
-    print(json.dumps({
+    emit({
         "metric": "kmer count queries/s/chip (1M x 21-mers, 10k x 100bp reads)",
         "value": round(qps),
         "unit": "queries/s",
@@ -398,10 +444,11 @@ def main():
                              "sequential query loop and B+-tree builder, "
                              "single-threaded (csrc/msbwt_baseline.cpp)",
         },
-    }))
+    })
 
 
 if __name__ == "__main__":
+    _start_watchdog()
     if "--no-retry" in sys.argv:
         main()
         sys.exit(0)
@@ -412,6 +459,7 @@ if __name__ == "__main__":
         import subprocess
         import sys
 
+        _DONE = True  # child prints the JSON line; disarm this watchdog
         log(f"bench attempt failed ({type(e).__name__}: {e}); retrying once")
         r = subprocess.run(
             [sys.executable, __file__, "--no-retry"],
