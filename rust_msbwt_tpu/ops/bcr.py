@@ -772,24 +772,54 @@ def _from_phys_jit(phys, *, n_cap):
     return pm.from_phys(phys, n_cap).astype(jnp.uint8)
 
 
+def _bucket_growth() -> float:
+    """Capacity growth factor between stage buckets (env
+    ``MSBWT_TPU_BUCKET_GROWTH``, default 2.0, clamped to [1.05, 4]).
+
+    The merge pass streams the whole CAPACITY each stage, so the mean
+    capacity/size overhead over a bucket's stages is r*ln(r)/(r-1): 1.39x
+    at r=2, 1.14x at r=1.3 — a smaller factor trades extra compiled shapes
+    (log_r of the total growth) for proportionally less streamed padding.
+    """
+    import os
+
+    try:
+        g = float(os.environ.get("MSBWT_TPU_BUCKET_GROWTH", "2"))
+    except ValueError:
+        g = 2.0
+    return min(max(g, 1.05), 4.0)
+
+
 def bucket_schedule(n0: int, N: int, L: int, n_cap: int,
-                    chunk: int) -> list[tuple[int, int, int]]:
+                    chunk: int, growth: float | None = None
+                    ) -> list[tuple[int, int, int]]:
     """Stage buckets ``(ja, jb, cap)``: run stages [ja, jb) at capacity
     ``cap`` (chunk-aligned, >= n0 + (jb-1)*N — stage j ends with at most
-    n0 + j*N symbols)."""
+    n0 + j*N symbols).
+
+    >>> sched = bucket_schedule(0, 10, 20, 220, 16)
+    >>> sched[0][0], sched[-1][1]  # covers stages [2, L+2) contiguously
+    (2, 22)
+    >>> all(c >= 0 + (jb - 1) * 10 for ja, jb, c in sched)  # capacity holds
+    True
+    """
     def aligned(x):
         return -(-x // chunk) * chunk
 
+    if growth is None:
+        growth = _bucket_growth()
     full_cap = aligned(n_cap)
     buckets = []
     ja = 2
     while ja < L + 2:
         need = n0 + ja * N
-        cap = min(aligned(2 * need), full_cap)
+        cap = min(aligned(int(growth * need)), full_cap)
         if cap == full_cap:
             jb = L + 2
         else:
             jb = max(min((cap - n0) // N + 1, L + 2), ja + 1)
+        # a bucket must hold its own last stage's output
+        cap = max(cap, aligned(n0 + (jb - 1) * N))
         buckets.append((ja, jb, cap))
         ja = jb
     return buckets

@@ -239,3 +239,39 @@ def test_wire_packed_upload_byte_identical(rng):
     finally:
         bcr._WIRE_PACK_MIN_BYTES = old
     assert up.tolist() == flat.tolist()
+
+
+def test_bucket_schedule_growth_factors():
+    """The schedule must cover stages [2, L+2) contiguously with chunk-
+    aligned, size-sufficient, non-decreasing capacities for any growth
+    factor (env MSBWT_TPU_BUCKET_GROWTH)."""
+    from rust_msbwt_tpu.ops.bcr import bucket_schedule
+
+    for growth in (1.05, 1.2, 1.3, 1.5, 2.0, 3.0, 4.0):
+        for (n0, N, L, chunk) in [(0, 10, 20, 16), (37, 7, 100, 64),
+                                  (0, 1000, 100, 8192), (5, 3, 8, 8)]:
+            n_cap = n0 + N * (L + 1) + N
+            sched = bucket_schedule(n0, N, L, n_cap, chunk, growth=growth)
+            assert sched[0][0] == 2
+            assert sched[-1][1] == L + 2
+            prev_jb, prev_cap = 2, 0
+            for ja, jb, cap in sched:
+                assert ja == prev_jb and jb > ja, (growth, sched)
+                assert cap % chunk == 0
+                assert cap >= n0 + (jb - 1) * N, (growth, ja, jb, cap)
+                assert cap >= prev_cap, "capacities must be non-decreasing"
+                prev_jb, prev_cap = jb, cap
+
+
+def test_bucketed_build_small_growth_matches_oracle(monkeypatch, rng):
+    """A bucketed build with a small growth factor (many buckets) must stay
+    oracle-exact — forced at tiny scale by patching the size gate."""
+    from rust_msbwt_tpu.ops import bcr
+
+    monkeypatch.setattr(bcr, "_BUCKET_MIN_SYMBOLS", 1)
+    monkeypatch.setenv("MSBWT_TPU_BUCKET_GROWTH", "1.2")
+    reads_l = [rng.integers(1, 6, int(rng.integers(3, 14))).astype(np.uint8)
+               for _ in range(25)]
+    reads, lens = encode_reads(reads_l)
+    got = build_msbwt(reads, lens, engine="pallas")
+    assert convert_itos(got) == naive_bwt([convert_itos(r) for r in reads_l])
