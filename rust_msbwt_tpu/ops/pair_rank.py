@@ -54,6 +54,25 @@ from rust_msbwt_tpu.ops.rank import BIN, OccIndex, fetch_counts
 PAIR_LANES = 48     # shift-packed codes (s << 3) | prev, s/prev in 0..5
 _PAD_PAIR = 63      # never matches a real code (real max = 0b101101 = 45)
 
+# valid 6-bit pair codes (prev < 6): 36 of the 48 shift-packed values
+_VALID_CODES_NP = np.array(
+    [(s << 3) | p for s in range(6) for p in range(6)], np.int32
+)
+
+
+def _row_lanes() -> int:
+    """Pair-table row width in lanes. The legacy layout is a full 128-lane
+    row (512 B); ``MSBWT_TPU_PAIR_ROW60=1`` selects the compact 60-lane row
+    (240 B): lanes 0..35 = occ checkpoints of the 36 VALID pair codes
+    (s*6 + prev), lanes 36..59 = the 6 planes x 4 packed-qword lanes. Big-
+    index pair queries are row-BANDWIDTH bound (BASELINE.md: ~46-52 GB/s
+    random-row), so row bytes convert directly into throughput — IF XLA
+    stores the [NB, 60] gather source dense (measured true-size storage for
+    gather sources in round 1; opt-in until re-measured at this shape)."""
+    import os
+
+    return 60 if os.environ.get("MSBWT_TPU_PAIR_ROW60") == "1" else 128
+
 
 class PairIndex(NamedTuple):
     """Device 2-step rank index."""
@@ -197,21 +216,30 @@ def _pair_weights() -> np.ndarray:
 _PAIR_W = _pair_weights()
 
 
-@jax.jit
-def _build_pair_table(ps):
-    """[NB, 128] rows (512 B — the gather is BANDWIDTH-bound at this table
-    size, so row bytes are the cost): lanes 0..47 = pair occ checkpoints;
-    lanes 48..71 = the 6 bit-planes' qwords packed FOUR per i32 lane
-    (plane p, lane 48+4p+l holds qwords 4l..4l+3 in bytes 0..3 — qword
-    values are <= 255, and the XNOR/AND/popcount decode works bytewise on
-    the packed words)."""
+@functools.partial(jax.jit, static_argnames=("lanes",))
+def _build_pair_table(ps, *, lanes: int = 128):
+    """Pair-rank table rows — a rank is ONE row gather + bytewise
+    XNOR/AND/popcount over 6 planes, so at big table sizes (the gather is
+    BANDWIDTH-bound) row bytes are the cost.
+
+    ``lanes=128`` (legacy, 512 B rows): occ checkpoints of the 48 shift-
+    packed codes at lanes 0..47; the 6 bit-planes' qwords packed FOUR per
+    i32 lane at 48..71 (plane p, lane 48+4p+l holds qwords 4l..4l+3 in
+    bytes 0..3 — qword values are <= 255, and the bytewise decode works on
+    the packed words). ``lanes=60`` (compact, 240 B rows): occ of only the
+    36 VALID codes (lane s*6 + prev) at 0..35; planes at 36..59."""
     npad = ps.shape[0]
     NB = npad // BIN
     bins = ps.reshape(NB, BIN)
-    pair_ids = jnp.arange(PAIR_LANES, dtype=jnp.int32)
+    if lanes == 60:
+        pair_ids = jnp.asarray(_VALID_CODES_NP)
+        occ_lanes, plane_base = 36, 36
+    else:
+        pair_ids = jnp.arange(PAIR_LANES, dtype=jnp.int32)
+        occ_lanes, plane_base = PAIR_LANES, 48
     per_bin = jnp.sum(
         bins[:, :, None] == pair_ids[None, None, :], axis=1, dtype=jnp.int32
-    )  # [NB, 48]
+    )  # [NB, occ_lanes]
     occ2 = jnp.cumsum(per_bin, axis=0, dtype=jnp.int32) - per_bin
     wq = jnp.asarray(_PAIR_W, jnp.bfloat16)
     acc = jnp.zeros((NB, 128), jnp.float32)
@@ -225,9 +253,9 @@ def _build_pair_table(ps):
         | (planes[:, 2::4] << 16)
         | (planes[:, 3::4] << 24)
     )[:, :24]  # plane p lane l at 4p+l
-    row = jnp.zeros((NB, 128), jnp.int32)
-    row = row.at[:, :PAIR_LANES].set(occ2)
-    row = row.at[:, 48:72].set(packed)
+    row = jnp.zeros((NB, lanes), jnp.int32)
+    row = row.at[:, :occ_lanes].set(occ2)
+    row = row.at[:, plane_base : plane_base + 24].set(packed)
     return row
 
 
@@ -264,7 +292,7 @@ def build_pair_index(index: OccIndex) -> PairIndex:
     [1]
     """
     ps = _build_pair_stream(index.bwt, index.occ, index.starts, n=index.n)
-    table2 = _build_pair_table(ps)
+    table2 = _build_pair_table(ps, lanes=_row_lanes())
     dmat = _build_dmat(index.bwt, index.occ, index.starts)
     return PairIndex(
         table2=table2, starts=index.starts, dmat=dmat, n=index.n,
@@ -279,20 +307,34 @@ def _rows_of(table2, pos):
 def _decode_rank(row, pos, code, n_planes):
     """Rank from an already-gathered row. ``n_planes=6`` matches the full
     6-bit pair code; ``n_planes=3`` matches only the BWT-symbol planes
-    (bits 3..5), i.e. single-symbol rank with any previous symbol."""
+    (bits 3..5), i.e. single-symbol rank with any previous symbol. The row
+    layout (legacy 128-lane / compact 60-lane) is inferred from the row
+    width at trace time."""
     B = code.shape[0]
+    compact = row.shape[1] == 60
+    occ_lanes = 36 if compact else PAIR_LANES
+    plane_base = 36 if compact else 48
     if n_planes == 6:
-        occ_oh = code[:, None] == jnp.arange(PAIR_LANES, dtype=jnp.int32)[None, :]
+        if compact:
+            # valid-code lane: (s << 3 | prev) -> s*6 + prev
+            occ_lane = (code >> 3) * 6 + (code & 7)
+        else:
+            occ_lane = code
+        occ_oh = (
+            occ_lane[:, None] == jnp.arange(occ_lanes, dtype=jnp.int32)[None, :]
+        )
         occ_base = jnp.sum(
-            jnp.where(occ_oh, row[:, :PAIR_LANES], 0), axis=1, dtype=jnp.int32
+            jnp.where(occ_oh, row[:, :occ_lanes], 0), axis=1, dtype=jnp.int32
         )
         planes = range(6)
     else:
-        # single symbol s = code: occ base = sum of its 8 pair lanes
-        # (codes (s<<3)|0 .. (s<<3)|7; lanes for prev >= 6 are always zero)
-        lane8 = jnp.arange(PAIR_LANES, dtype=jnp.int32)[None, :] >> 3
+        # single symbol s = code: occ base = sum of its pair lanes (compact:
+        # lanes s*6 .. s*6+5; legacy: codes (s<<3)|0 .. |7 — prev >= 6 lanes
+        # are always zero)
+        lane_ids = jnp.arange(occ_lanes, dtype=jnp.int32)[None, :]
+        lane_sym = lane_ids // 6 if compact else lane_ids >> 3
         occ_base = jnp.sum(
-            jnp.where(lane8 == code[:, None], row[:, :PAIR_LANES], 0),
+            jnp.where(lane_sym == code[:, None], row[:, :occ_lanes], 0),
             axis=1, dtype=jnp.int32,
         )
         code = code << 3  # align the symbol bits with planes 3..5
@@ -301,7 +343,7 @@ def _decode_rank(row, pos, code, n_planes):
     # safe because sp is 0x00000000 or 0xFFFFFFFF (all bytes identical)
     match = jnp.full((B, 4), -1, jnp.int32)
     for p in planes:
-        words = row[:, 48 + 4 * p : 52 + 4 * p]
+        words = row[:, plane_base + 4 * p : plane_base + 4 * p + 4]
         sp = -((code >> p) & 1)
         match = match & ~(words ^ sp[:, None])
     b = pos // BIN

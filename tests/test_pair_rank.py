@@ -130,3 +130,25 @@ def test_model_level_pair_index(setup, rng):
     # reload must clear the pair index (stale-state regression family)
     bwt.load_vector(bytes_from_runs(*runs_from_symbols(dec[: dec.size // 2])))
     assert bwt._pair_index is None
+
+
+def test_compact_row60_layout_matches_legacy(setup, rng, monkeypatch):
+    """The 240-byte 60-lane row layout (MSBWT_TPU_PAIR_ROW60) must answer
+    identically to the legacy 128-lane layout, with and without a cache
+    seed, including odd-tail single-symbol rounds."""
+    dec, index, pidx = setup
+    monkeypatch.setenv("MSBWT_TPU_PAIR_ROW60", "1")
+    pidx60 = build_pair_index(index)
+    assert pidx60.table2.shape[1] == 60
+    kmers = rng.integers(0, 6, size=(300, 7)).astype(np.uint8)
+    lengths = rng.integers(1, 8, size=300).astype(np.int32)
+    want = count_kmers_pair(pidx, kmers, lengths)
+    got = count_kmers_pair(pidx60, kmers, lengths)
+    assert np.array_equal(got, want)
+    single = count_kmers(index, kmers, lengths)
+    assert np.array_equal(got, single)
+    cache = build_kmer_cache(index.bwt, index.occ, index.starts, index.n, 2)
+    km = rng.integers(0, 6, size=(200, 5)).astype(np.uint8)
+    a = count_kmers_pair(pidx60, km, cache=cache, cache_k=2)
+    b = count_kmers_pair(pidx, km, cache=cache, cache_k=2)
+    assert np.array_equal(a, b)
