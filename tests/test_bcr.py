@@ -275,3 +275,18 @@ def test_bucketed_build_small_growth_matches_oracle(monkeypatch, rng):
     reads, lens = encode_reads(reads_l)
     got = build_msbwt(reads, lens, engine="pallas")
     assert convert_itos(got) == naive_bwt([convert_itos(r) for r in reads_l])
+
+
+def test_bucketed_radix2_small_growth(monkeypatch, rng):
+    """Radix-2 stage pairing must respect bucket boundaries for any growth
+    factor (buckets shrink to even stage counts, never extend)."""
+    from rust_msbwt_tpu.ops import bcr
+
+    monkeypatch.setattr(bcr, "_BUCKET_MIN_SYMBOLS", 1)
+    monkeypatch.setenv("MSBWT_TPU_BUCKET_GROWTH", "1.2")
+    monkeypatch.setenv("MSBWT_TPU_RADIX", "2")
+    reads_l = [rng.integers(1, 6, int(rng.integers(4, 16))).astype(np.uint8)
+               for _ in range(20)]
+    reads, lens = encode_reads(reads_l)
+    got = build_msbwt(reads, lens, engine="pallas")
+    assert convert_itos(got) == naive_bwt([convert_itos(r) for r in reads_l])
