@@ -50,10 +50,27 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 # chunk geometry: CS sublane rows of 128 lanes per grid step. Must be >= 16
-# so the wide path's 8-row pair slice stays inside the 3*CS-row window.
-# Swept 16/32/64/128 on hardware: 64 wins with the 3-view fast path (bigger
-# pipeline blocks) — 32 was optimal for the old per-row reconstruction.
-CS = 64
+# so the wide path's 8-row pair slice stays inside the 3*CS-row window, and
+# <= 128 so the within-chunk row-prefix fits the 128x128 weight plane.
+# Swept 16/32/64/128 on hardware AT 16M: 64 wins with the 3-view fast path
+# (bigger pipeline blocks) — 32 was optimal for the old per-row
+# reconstruction. At 505M the pass runs ~3x below its 16M bandwidth
+# (~33 GB/s vs ~110), suggesting per-chunk overhead dominates at scale —
+# env MSBWT_TPU_MERGE_CS re-sweeps without an edit (read once at import;
+# the chunk size shapes bucket alignment and phys layouts everywhere).
+def _cs_from_env() -> int:
+    import os
+
+    try:
+        cs = int(os.environ.get("MSBWT_TPU_MERGE_CS", "64"))
+    except ValueError:
+        cs = 64
+    if cs < 16 or cs > 128 or cs & (cs - 1):
+        return 64
+    return cs
+
+
+CS = _cs_from_env()
 CHUNK = CS * 128
 _PAD = 7
 
