@@ -755,7 +755,7 @@ def _bcr_block_jit2(cur, table, P, counts, prev_v, n_valid, reads_cols,
 
 @functools.partial(jax.jit, static_argnames=("new_rows",))
 def _grow_carry(cur, table, *, new_rows):
-    pad = jnp.full((new_rows, 128), _PAD, jnp.int32)
+    pad = jnp.full((new_rows, 128), _PAD, cur.dtype)
     cur2 = jax.lax.dynamic_update_slice(pad, cur, (0, 0))
     # grown table rows are never gathered before the next stage rewrites the
     # whole table (P < old capacity), so zero-fill is fine

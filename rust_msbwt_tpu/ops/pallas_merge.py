@@ -75,6 +75,22 @@ CHUNK = CS * 128
 _PAD = 7
 
 
+def _phys_dtype_from_env():
+    """Phys-buffer element dtype. Symbols are 0..7, so int16 halves the
+    merge pass's old-window read and merged-output write bytes (i16 tiles
+    are also layout-compatible with the bf16 plane matmuls). uint8 would
+    halve again but its dynamic-start DMA miscompiles on this platform
+    (recorded trap); int16 support is probed by /tmp/probe_i16-style toy
+    kernels before enabling. Env ``MSBWT_TPU_PHYS_DTYPE=int16`` opts in."""
+    import os
+
+    return (jnp.int16 if os.environ.get("MSBWT_TPU_PHYS_DTYPE") == "int16"
+            else jnp.int32)
+
+
+PHYS_DTYPE = _phys_dtype_from_env()
+
+
 def _merge_kernel(ca_ref, old_ref, ti_ref, wtab_ref, out_ref, tab_ref, buf,
                   nbuf, occ_acc, sems):
     """One output chunk. Grid dim 0 walks phys chunks. Chunk 0 (front guard)
@@ -139,7 +155,7 @@ def _merge_kernel(ca_ref, old_ref, ti_ref, wtab_ref, out_ref, tab_ref, buf,
 
     @pl.when(guard)
     def _():
-        out_ref[:] = jnp.full((CS, 128), _PAD, jnp.int32)
+        out_ref[:] = jnp.full((CS, 128), _PAD, out_ref.dtype)
 
     @pl.when(jnp.logical_not(guard))
     def _():
@@ -174,7 +190,9 @@ def _merge_kernel(ca_ref, old_ref, ti_ref, wtab_ref, out_ref, tab_ref, buf,
                 v = nbuf[c % 2, pl.ds(mm, CS), :]
                 g.append(jnp.take_along_axis(v, idx, axis=1))
             shifted = jnp.where(m == 0, g[0], jnp.where(m == 1, g[1], g[2]))
-            out_ref[:] = jnp.where(ins > 0, ins - 1, shifted)
+            out_ref[:] = jnp.where(
+                ins > 0, (ins - 1).astype(out_ref.dtype), shifted
+            )
 
         # wide path (>= 128 insertions in one chunk — e.g. many duplicate
         # reads): per-row reconstruction, each row spans <= 2 window rows
@@ -194,7 +212,9 @@ def _merge_kernel(ca_ref, old_ref, ti_ref, wtab_ref, out_ref, tab_ref, buf,
                 )
                 rows.append(jnp.where(off < 128, g_a[0:1], g_b[1:2]))
             shifted = jnp.concatenate(rows, axis=0)
-            out_ref[:] = jnp.where(ins > 0, ins - 1, shifted)
+            out_ref[:] = jnp.where(
+                ins > 0, (ins - 1).astype(out_ref.dtype), shifted
+            )
 
     # --- fused rank-table emission (uniform over ALL chunks, guards
     # included: a PAD tile contributes zero counts and all-ones planes) ---
@@ -259,8 +279,8 @@ def _merge_call(chunk_a, old_phys, ti_phys, *, interpret=False):
             pl.BlockSpec((CS, 128), lambda c, ca: (c, 0), memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, 3 * CS, 128), jnp.int32),
-            pltpu.VMEM((2, CS + 8, 128), jnp.int32),
+            pltpu.VMEM((2, 3 * CS, 128), old_phys.dtype),
+            pltpu.VMEM((2, CS + 8, 128), old_phys.dtype),
             pltpu.VMEM((8, 128), jnp.int32),  # running global occ prefix
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -269,7 +289,7 @@ def _merge_call(chunk_a, old_phys, ti_phys, *, interpret=False):
         _merge_kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((rows, 128), jnp.int32),
+            jax.ShapeDtypeStruct((rows, 128), old_phys.dtype),
             jax.ShapeDtypeStruct((rows, 128), jnp.int32),
         ],
         interpret=interpret,
@@ -289,10 +309,13 @@ def phys_rows(n_cap: int) -> int:
 
 
 def to_phys(buf_logical: jax.Array, n_cap: int) -> jax.Array:
-    """Embed a logical i32 buffer (flat [n_cap]) into the padded phys layout."""
+    """Embed a logical buffer (flat [n_cap]) into the padded phys layout
+    (``PHYS_DTYPE`` elements)."""
     rows = phys_rows(n_cap)
-    flat = jnp.full(rows * 128, _PAD, jnp.int32)
-    flat = jax.lax.dynamic_update_slice(flat, buf_logical.astype(jnp.int32), (CHUNK,))
+    flat = jnp.full(rows * 128, _PAD, PHYS_DTYPE)
+    flat = jax.lax.dynamic_update_slice(
+        flat, buf_logical.astype(PHYS_DTYPE), (CHUNK,)
+    )
     return flat.reshape(rows, 128)
 
 
