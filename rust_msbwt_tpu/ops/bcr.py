@@ -414,9 +414,11 @@ def _pallas_rank_table(table, f, P):
         jnp.where(arange6[None, :] == f[:, None], row[:, :VC_LEN], 0),
         axis=1, dtype=jnp.int32,
     )
+    from rust_msbwt_tpu.ops.pallas_merge import PLANE_BASE
+
     match = jnp.full((f.shape[0], 16), -1, jnp.int32)
     for p in range(3):
-        words = row[:, 32 + 16 * p : 48 + 16 * p]
+        words = row[:, PLANE_BASE + 16 * p : PLANE_BASE + 16 * p + 16]
         sp = -((f >> p) & 1)
         match = match & ~(words ^ sp[:, None])
     match = match & 0xFF
@@ -760,7 +762,7 @@ def _grow_carry(cur, table, *, new_rows):
     # grown table rows are never gathered before the next stage rewrites the
     # whole table (P < old capacity), so zero-fill is fine
     tab2 = jax.lax.dynamic_update_slice(
-        jnp.zeros((new_rows, 128), jnp.int32), table, (0, 0)
+        jnp.zeros((new_rows, table.shape[1]), jnp.int32), table, (0, 0)
     )
     return cur2, tab2
 
@@ -907,10 +909,12 @@ def _derive_indexes_from_phys(phys, table_phys, counts, *, n):
     starts = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(counts, dtype=jnp.int32)]
     )
+    from rust_msbwt_tpu.ops.pallas_merge import PLANE_BASE
+
     ptab = jnp.zeros((NB + 1, 32), jnp.int32)
     ptab = ptab.at[:, :VC_LEN].set(occ)
     for p in range(3):
-        q = body[:, 32 + 16 * p : 48 + 16 * p]           # [NB, 16] byte qwords
+        q = body[:, PLANE_BASE + 16 * p : PLANE_BASE + 16 * p + 16]  # [NB, 16] byte qwords
         words = (
             q[:, 0::4] | (q[:, 1::4] << 8) | (q[:, 2::4] << 16)
             | (q[:, 3::4] << 24)

@@ -91,6 +91,22 @@ def _phys_dtype_from_env():
 PHYS_DTYPE = _phys_dtype_from_env()
 
 
+def _table_lanes_from_env() -> int:
+    """Fused rank-table row width. The legacy 128-lane row uses only lanes
+    0..5 (occ) and 32..79 (plane qwords); the 64-lane layout packs planes
+    at 8+16p+q and halves the kernel's table-write bytes (the per-stage
+    rank GATHER is count-bound, not byte-bound, so the win is all on the
+    write side). Env ``MSBWT_TPU_TABLE64=1`` opts in."""
+    import os
+
+    return 64 if os.environ.get("MSBWT_TPU_TABLE64") == "1" else 128
+
+
+TABLE_LANES = _table_lanes_from_env()
+# plane-p qword q lives at table lane PLANE_BASE + 16p + q
+PLANE_BASE = 8 if TABLE_LANES == 64 else 32
+
+
 def _merge_kernel(ca_ref, old_ref, ti_ref, wtab_ref, out_ref, tab_ref, buf,
                   nbuf, occ_acc, sems):
     """One output chunk. Grid dim 0 walks phys chunks. Chunk 0 (front guard)
@@ -243,17 +259,19 @@ def _merge_kernel(ca_ref, old_ref, ti_ref, wtab_ref, out_ref, tab_ref, buf,
             bits, wtab_ref[p].astype(jnp.bfloat16),
             preferred_element_type=jnp.float32,
         )
-    tab_ref[:] = jnp.where(lane < 6, occ_rows, qw.astype(jnp.int32))
+    tab = jnp.where(lane < 6, occ_rows, qw.astype(jnp.int32))
+    tab_ref[:] = tab[:, :TABLE_LANES]
 
 
 def _wtab_np() -> np.ndarray:
     """[4, 128, 128] f32 kernel weights: planes 0..2 = the qword packing
-    matrices (position i -> lane 32+16p+i//8, weight 2^(i%8)); plane 3 =
-    the lower-triangular within-chunk row-prefix matrix (top-left CSxCS)."""
+    matrices (position i -> lane PLANE_BASE + 16p + i//8, weight 2^(i%8));
+    plane 3 = the lower-triangular within-chunk row-prefix matrix (top-left
+    CSxCS)."""
     w = np.zeros((4, 128, 128), np.float32)
     for plane in range(3):
         for i in range(128):
-            w[plane, i, 32 + 16 * plane + i // 8] = float(1 << (i % 8))
+            w[plane, i, PLANE_BASE + 16 * plane + i // 8] = float(1 << (i % 8))
     w[3, :CS, :CS] = np.tril(np.ones((CS, CS), np.float32))
     return w
 
@@ -276,7 +294,8 @@ def _merge_call(chunk_a, old_phys, ti_phys, *, interpret=False):
         ],
         out_specs=[
             pl.BlockSpec((CS, 128), lambda c, ca: (c, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((CS, 128), lambda c, ca: (c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((CS, TABLE_LANES), lambda c, ca: (c, 0),
+                         memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
             pltpu.VMEM((2, 3 * CS, 128), old_phys.dtype),
@@ -290,7 +309,7 @@ def _merge_call(chunk_a, old_phys, ti_phys, *, interpret=False):
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((rows, 128), old_phys.dtype),
-            jax.ShapeDtypeStruct((rows, 128), jnp.int32),
+            jax.ShapeDtypeStruct((rows, TABLE_LANES), jnp.int32),
         ],
         interpret=interpret,
     )(chunk_a, old_phys, ti_phys, jnp.asarray(_WTAB_NP))

@@ -130,7 +130,7 @@ def test_bcr_pallas_extend_matches_xla():
 def test_fused_table_matches_reference_layout():
     """The kernel's fused rank table must equal an independently computed
     occ-prefix + qword packing of the merged buffer."""
-    from rust_msbwt_tpu.ops.pallas_merge import CS
+    from rust_msbwt_tpu.ops.pallas_merge import CS, PLANE_BASE
 
     r = np.random.default_rng(11)
     n_old, n_ins = 900, 200
@@ -161,4 +161,4 @@ def test_fused_table_matches_reference_layout():
                 want = sum(
                     ((int(win[8 * j + i]) >> p) & 1) << i for i in range(8)
                 )
-                assert tab[row, 32 + 16 * p + j] == want, (row, p, j)
+                assert tab[row, PLANE_BASE + 16 * p + j] == want, (row, p, j)
