@@ -290,3 +290,35 @@ def test_bucketed_radix2_small_growth(monkeypatch, rng):
     reads, lens = encode_reads(reads_l)
     got = build_msbwt(reads, lens, engine="pallas")
     assert convert_itos(got) == naive_bwt([convert_itos(r) for r in reads_l])
+
+
+def test_all_optin_levers_composed(monkeypatch, rng):
+    """Every opt-in perf lever enabled at once (pair-fast stream, 60-lane
+    pair rows, int16 phys, 64-lane fused table, small bucket growth,
+    CS-independent bucket math) must stay oracle-exact through the fused
+    build -> indexes -> pair -> queries flow."""
+    import jax.numpy as jnp
+
+    from rust_msbwt_tpu.ops import bcr
+    from rust_msbwt_tpu.ops.bcr import build_msbwt_with_index
+    from rust_msbwt_tpu.ops.pair_rank import build_pair_index, count_kmers_pair
+    from rust_msbwt_tpu.ops.rank import build_occ_index, count_kmers
+
+    monkeypatch.setattr(bcr, "_BUCKET_MIN_SYMBOLS", 1)
+    monkeypatch.setenv("MSBWT_TPU_BUCKET_GROWTH", "1.2")
+    monkeypatch.setenv("MSBWT_TPU_PAIR_FAST", "1")
+    monkeypatch.setenv("MSBWT_TPU_PAIR_ROW60", "1")
+    # PHYS_DTYPE / TABLE64 / MERGE_CS are read at import; covered by the
+    # env-matrix CI lanes — here exercise the dynamically-read knobs
+    reads_l = [rng.integers(1, 6, int(rng.integers(3, 18))).astype(np.uint8)
+               for _ in range(30)]
+    reads, lens = encode_reads(reads_l)
+    want = naive_bwt([convert_itos(r) for r in reads_l])
+    idx, packed = build_msbwt_with_index(reads, lens, engine="pallas")
+    got = np.asarray(idx.bwt[: idx.n])
+    assert convert_itos(got) == want
+    pidx = build_pair_index(idx)
+    assert pidx.table2.shape[1] == 60
+    kmers = rng.integers(0, 6, size=(200, 5)).astype(np.uint8)
+    ref = count_kmers(build_occ_index(jnp.asarray(np.asarray(got))), kmers)
+    assert np.array_equal(count_kmers_pair(pidx, kmers), ref)
