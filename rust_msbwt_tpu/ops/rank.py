@@ -290,6 +290,14 @@ def count_kmers(index: OccIndex, kmers, lengths=None, cache=None,
     exit (ref: src/msbwt_core.rs:151-153) — an empty range stays empty under
     further LF steps, so masking is exact. Pass a ``build_kmer_cache`` table
     to skip the first ``cache_k`` LF steps of every query.
+
+    >>> from rust_msbwt_tpu.ops.alphabet import convert_stoi
+    >>> from rust_msbwt_tpu.utils.oracle import naive_bwt
+    >>> import numpy as np
+    >>> idx = build_occ_index(convert_stoi(naive_bwt(["ACGT", "ACCA"])))
+    >>> kmers = np.stack([convert_stoi("AC"), convert_stoi("GT")])
+    >>> [int(c) for c in count_kmers(idx, kmers)]
+    [2, 1]
     """
     from rust_msbwt_tpu.utils.checks import validate_kmers
 

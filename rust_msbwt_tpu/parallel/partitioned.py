@@ -196,7 +196,16 @@ def count_kmers_partitioned(index: PartitionedIndex, kmers, lengths=None,
                             wide: bool | None = None):
     """Batched ``count_kmer`` over the partitioned index: per-shard backward
     search (independent, local) + one final psum. Equals the single-BWT
-    count for every k-mer without '$' (k-mer hits never span reads)."""
+    count for every k-mer without '$' (k-mer hits never span reads).
+
+    >>> import numpy as np
+    >>> from rust_msbwt_tpu.ops.alphabet import convert_stoi
+    >>> reads = np.stack([convert_stoi("ACGT"), convert_stoi("ACCA")])
+    >>> idx = build_partitioned(reads, np.array([4, 4], np.int32))
+    >>> [int(c) for c in count_kmers_partitioned(
+    ...     idx, np.stack([convert_stoi("AC"), convert_stoi("GT")]))]
+    [2, 1]
+    """
     kmers = np.asarray(kmers, dtype=np.uint8)
     if kmers.ndim == 1:
         kmers = kmers[None, :]

@@ -366,6 +366,15 @@ def sharded_hm_merge(
       TPU mesh (no multi-chip hardware in this environment), so the scalable
       transport stays an explicit opt-in — pass ``transport="ragged"`` or set
       ``MSBWT_TPU_RAGGED=1`` — until a real pod run validates it.
+
+    >>> import numpy as np
+    >>> from rust_msbwt_tpu.ops.alphabet import convert_itos, convert_stoi
+    >>> from rust_msbwt_tpu.utils.oracle import naive_bwt
+    >>> a = np.asarray(convert_stoi(naive_bwt(["ACGT"])), np.uint8)
+    >>> b = np.asarray(convert_stoi(naive_bwt(["CCA", "TG"])), np.uint8)
+    >>> convert_itos(sharded_hm_merge([a, b])) == naive_bwt(
+    ...     ["ACGT", "CCA", "TG"])
+    True
     """
     import os
     if mesh is None:

@@ -10,11 +10,15 @@ import rust_msbwt_tpu.models.core as core
 import rust_msbwt_tpu.models.dynamic as dynamic
 import rust_msbwt_tpu.models.rle_bwt as rle_bwt
 import rust_msbwt_tpu.ops.alphabet as alphabet
+import rust_msbwt_tpu.ops.bcr as bcr
 import rust_msbwt_tpu.ops.merge as merge
 import rust_msbwt_tpu.ops.packed_rank as packed_rank
 import rust_msbwt_tpu.ops.pair_rank as pair_rank
+import rust_msbwt_tpu.ops.rank as rank
 import rust_msbwt_tpu.ops.rle as rle
+import rust_msbwt_tpu.parallel.partitioned as partitioned
 import rust_msbwt_tpu.parallel.sharded_index as sharded_index
+import rust_msbwt_tpu.parallel.sharded_merge as sharded_merge
 import rust_msbwt_tpu.utils.checkpoint as checkpoint
 import rust_msbwt_tpu.utils.npy as npy
 import rust_msbwt_tpu.utils.oracle as oracle
@@ -24,7 +28,8 @@ import rust_msbwt_tpu.utils.streaming as streaming
 @pytest.mark.parametrize(
     "mod",
     [alphabet, rle, core, dynamic, rle_bwt, npy, oracle, merge, packed_rank,
-     pair_rank, sharded_index, checkpoint, streaming],
+     pair_rank, sharded_index, checkpoint, streaming, bcr, rank, partitioned,
+     sharded_merge],
     ids=lambda m: m.__name__,
 )
 def test_doctests(mod):
