@@ -817,11 +817,14 @@ def bucket_schedule(n0: int, N: int, L: int, n_cap: int,
         need = n0 + ja * N
         cap = min(aligned(int(growth * need)), full_cap)
         if cap == full_cap:
+            # the full-capacity bucket holds everything by n_cap's definition
+            # (stage-end bound n0 + j*N is LOOSE for ragged reads — do not
+            # grow past full_cap chasing it)
             jb = L + 2
         else:
+            # cap >= growth*need >= n0 + ja*N, so even a forced single-stage
+            # bucket (jb = ja + 1) fits its last stage's output
             jb = max(min((cap - n0) // N + 1, L + 2), ja + 1)
-        # a bucket must hold its own last stage's output
-        cap = max(cap, aligned(n0 + (jb - 1) * N))
         buckets.append((ja, jb, cap))
         ja = jb
     return buckets
