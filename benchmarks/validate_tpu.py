@@ -10,17 +10,55 @@ Checks:
   2. pallas build vs naive oracle on a 32x-coverage mini-genome,
   3. 10k-read build -> RLE npy roundtrip -> packed-query parity with the
      sequential host loop (reference semantics) on sampled k-mers,
-  4. extend flow (base + new batch) parity across engines.
+  4. extend flow (base + new batch) parity across engines,
+  5. opt-in perf layouts on real hardware: pair-fast stream, 60-lane pair
+     rows, small bucket growth (in-process env), and — via subprocesses,
+     because they are read at import — int16 phys, 64-lane fused table,
+     and CS=32/128 merge chunks.
 
 Prints PASS/FAIL per check; exits nonzero on any failure.
 """
 
 from __future__ import annotations
 
+import os
+import subprocess
 import sys
 import tempfile
 
 import numpy as np
+
+
+def _knob_child() -> int:
+    """Small hardware parity drive for one import-time knob combination
+    (env already set by the parent): pallas build + fused derivation vs
+    the naive oracle."""
+    import jax.numpy as jnp
+
+    from rust_msbwt_tpu.ops.alphabet import convert_itos
+    from rust_msbwt_tpu.ops.bcr import build_msbwt_with_index, encode_reads
+    from rust_msbwt_tpu.ops.packed_rank import count_kmers_packed, pack_index
+    from rust_msbwt_tpu.ops.rank import build_occ_index
+    from rust_msbwt_tpu.utils.oracle import naive_bwt
+
+    rng = np.random.default_rng(7)
+    reads_l = [rng.integers(1, 6, rng.integers(5, 60)).astype(np.uint8)
+               for _ in range(300)]
+    reads, lens = encode_reads(reads_l)
+    idx, packed = build_msbwt_with_index(reads, lens, engine="pallas")
+    got = convert_itos(np.asarray(idx.bwt[: idx.n]))
+    want = naive_bwt([convert_itos(r) for r in reads_l])
+    if got != want:
+        print("knob-child: BWT mismatch", flush=True)
+        return 1
+    w_idx = build_occ_index(jnp.asarray(np.asarray(idx.bwt[: idx.n])))
+    kmers = rng.integers(1, 6, size=(200, 6)).astype(np.uint8)
+    a = count_kmers_packed(packed, kmers)
+    b = count_kmers_packed(pack_index(w_idx), kmers)
+    if not np.array_equal(a, b):
+        print("knob-child: query mismatch", flush=True)
+        return 1
+    return 0
 
 
 def main() -> int:
@@ -178,9 +216,46 @@ def main() -> int:
                     engine="pallas")
     check("extend parity", np.array_equal(a, b))
 
+    # 5a. dynamically-read opt-in knobs (same process)
+    from rust_msbwt_tpu.ops.pair_rank import build_pair_index, count_kmers_pair
+
+    pq = rng.integers(0, 6, size=(300, 7)).astype(np.uint8)
+    base_counts = count_kmers_pair(build_pair_index(w_idx), pq)
+    for knob in ("MSBWT_TPU_PAIR_FAST", "MSBWT_TPU_PAIR_ROW60"):
+        os.environ[knob] = "1"
+        try:
+            got_counts = count_kmers_pair(build_pair_index(w_idx), pq)
+            check(f"{knob}=1 pair parity (hw)",
+                  np.array_equal(got_counts, base_counts))
+        except Exception as e:
+            print(f"[FAIL] {knob}=1 pair parity (hw): {type(e).__name__}: {e}",
+                  flush=True)
+            failures += 1
+        finally:
+            os.environ.pop(knob, None)
+
+    # 5b. import-time knobs via subprocess children
+    for env_kv in (
+        {"MSBWT_TPU_BUCKET_GROWTH": "1.3"},
+        {"MSBWT_TPU_PHYS_DTYPE": "int16"},
+        {"MSBWT_TPU_TABLE64": "1"},
+        {"MSBWT_TPU_MERGE_CS": "32"},
+        {"MSBWT_TPU_PHYS_DTYPE": "int16", "MSBWT_TPU_TABLE64": "1",
+         "MSBWT_TPU_MERGE_CS": "128"},
+    ):
+        label = ",".join(f"{k.replace('MSBWT_TPU_', '')}={v}"
+                         for k, v in env_kv.items())
+        r = subprocess.run(
+            [sys.executable, "-m", "benchmarks.validate_tpu", "--knob-child"],
+            env={**os.environ, **env_kv}, timeout=1200,
+        )
+        check(f"knob child [{label}] build+query parity (hw)", r.returncode == 0)
+
     print("ALL PASS" if failures == 0 else f"{failures} FAILURES")
     return 1 if failures else 0
 
 
 if __name__ == "__main__":
+    if "--knob-child" in sys.argv:
+        sys.exit(_knob_child())
     sys.exit(main())
