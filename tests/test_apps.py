@@ -1,0 +1,59 @@
+"""fmlrc-style correction demo (apps.correct): the flagship application of
+the original msbwt, driven through the batched device query path."""
+
+import numpy as np
+import pytest
+
+from rust_msbwt_tpu.apps import correct_reads, flag_read_errors
+from rust_msbwt_tpu.models.dynamic import DynamicBWT
+from rust_msbwt_tpu.ops.alphabet import convert_itos
+
+
+@pytest.fixture(scope="module")
+def corpus(rng):
+    """30x coverage of a 300bp genome + 5 reads with one injected error."""
+    genome = rng.integers(1, 6, 300).astype(np.uint8)
+    genome[genome == 4] = 5  # drop N so substitutions are unambiguous
+    L, n_reads = 60, 150
+    starts = rng.integers(0, genome.size - L, n_reads)
+    reads = np.stack([genome[s : s + L] for s in starts])
+    bwt = DynamicBWT()
+    bwt.insert_strings([convert_itos(r) for r in reads], sorted=True)
+
+    test_reads = reads[:5].copy()
+    err_pos = [10, 30, 45, 5, 55]
+    truth = test_reads.copy()
+    for i, p in enumerate(err_pos):
+        orig = test_reads[i, p]
+        alt = {1: 2, 2: 3, 3: 5, 5: 1}[int(orig)]
+        test_reads[i, p] = alt
+    return bwt, test_reads, truth, err_pos
+
+
+def test_flags_find_injected_errors(corpus):
+    bwt, test_reads, truth, err_pos = corpus
+    flags = flag_read_errors(bwt, test_reads, k=21, tau=2)
+    for i, p in enumerate(err_pos):
+        assert flags[i, p], f"read {i}: injected error at {p} not flagged"
+    # clean reads (in the index) must be flag-free
+    clean = flag_read_errors(bwt, truth, k=21, tau=2)
+    assert not clean.any()
+
+
+def test_correction_repairs_errors(corpus):
+    bwt, test_reads, truth, err_pos = corpus
+    fixed, n = correct_reads(bwt, test_reads, k=21, tau=2)
+    assert n >= len(err_pos)
+    for i, p in enumerate(err_pos):
+        assert fixed[i, p] == truth[i, p], f"read {i} base {p} not repaired"
+    # repaired reads carry no remaining flags at the error sites
+    flags = flag_read_errors(bwt, fixed, k=21, tau=2)
+    for i, p in enumerate(err_pos):
+        assert not flags[i, p]
+
+
+def test_correction_cap(corpus):
+    bwt, test_reads, _truth, _err_pos = corpus
+    _fixed, n = correct_reads(bwt, test_reads, k=21, tau=2,
+                              max_corrections_per_read=0)
+    assert n == 0
