@@ -21,15 +21,17 @@ idx = build_occ_index(d)
 pr = build_pair_index(idx); sync(pr.table2)
 print("index ready", flush=True)
 
-# (a) raw 1KB-row dependent gathers at the pair table size
+# (a) raw dependent row gathers at the pair table size (row bytes derived
+# from the actual shape/dtype so the GB/s label can't drift from layout)
 rows = pr.table2.shape[0]
+row_bytes = int(pr.table2.shape[1]) * pr.table2.dtype.itemsize
 B = 1_000_000
 gidx = np.random.default_rng(1).integers(0, rows, B).astype(np.int32)
 @jax.jit
 def gather_rounds(table, idx0):
     def step(i, carry):
         acc, ix = carry
-        r = jnp.take(table, ix, axis=0)        # [B, 256] = 1KB rows
+        r = jnp.take(table, ix, axis=0)        # [B, row] dependent gather
         acc = acc + r[:, 0]
         ix = (ix + r[:, 1] + i) % rows
         return acc, ix
@@ -39,8 +41,9 @@ best = 1e9
 for _ in range(3):
     t0 = time.perf_counter(); out = gather_rounds(pr.table2, jnp.asarray(gidx)); sync(out[0])
     best = min(best, time.perf_counter() - t0)
-print(f"raw 1KB-row gathers: {best/14/B*1e9:.1f} ns/row = {14*B/best/1e6:.1f}M rows/s "
-      f"= {14*B*1024/best/1e9:.0f} GB/s", flush=True)
+print(f"raw {row_bytes}B-row gathers: {best/14/B*1e9:.1f} ns/row = "
+      f"{14*B/best/1e6:.1f}M rows/s "
+      f"= {14*B*row_bytes/best/1e9:.0f} GB/s", flush=True)
 
 # (b) pair queries with 6^8 vs 6^10 seeds
 cache8 = build_kmer_cache(idx.bwt, idx.occ, idx.starts, idx.n, 8); sync(cache8)

@@ -84,15 +84,22 @@ def main(argv=None) -> int:
         return EX_IOERR
     pack_loaded = False
     if args.index_pack and os.path.isfile(args.index_pack):
+        import zipfile
+
+        # np.load raises ValueError for non-zip bytes, zipfile.BadZipFile
+        # for a truncated archive, KeyError for an npz missing our arrays —
+        # all of them are "bad pack", not a crash.
         try:
             bwt.load_query_indexes(args.index_pack)
             pack_loaded = True
             logger.info("Loaded query indexes from %r", args.index_pack)
-        except (OSError, IOError) as e:
+        except (OSError, KeyError, ValueError, zipfile.BadZipFile) as e:
             logger.error("Bad index pack: %s", e)
             return EX_IOERR
+    pack_stale = False
     if args.cache_k > 0 and getattr(bwt, "_cache_k", 0) != args.cache_k:
         bwt.enable_kmer_cache(args.cache_k)
+        pack_stale = True  # new cache worth persisting into the pack
 
     K = max(len(k) for k in kmers_txt)
     B = len(kmers_txt)
@@ -103,7 +110,7 @@ def main(argv=None) -> int:
         kmers[i, K - len(enc):] = enc
         lengths[i] = len(enc)
     counts = bwt.count_kmers(kmers, lengths)
-    if args.index_pack and not pack_loaded:
+    if args.index_pack and (not pack_loaded or pack_stale):
         try:
             bwt.save_query_indexes(args.index_pack)
             logger.info("Saved query indexes to %r", args.index_pack)

@@ -218,10 +218,18 @@ class RleBWT(BWTBase):
         re-deriving (``utils.checkpoint.save_query_pack``)."""
         from rust_msbwt_tpu.utils.checkpoint import save_query_pack
 
+        # Save what was actually built — the ``packed_index`` property
+        # DERIVES the table (plus a multi-GB host copy at big n), which a
+        # pair-only engine never needs. Only fall back to deriving it when
+        # no index exists at all, so the pack is never empty.
+        packed = self._packed_index
+        pair = getattr(self, "_pair_index", None)
+        if packed is None and pair is None:
+            packed = self.packed_index
         save_query_pack(
             path,
-            packed=self.packed_index,
-            pair=getattr(self, "_pair_index", None),
+            packed=packed,
+            pair=pair,
             cache=getattr(self, "_kmer_cache", None),
             cache_k=getattr(self, "_cache_k", 0) or 0,
         )

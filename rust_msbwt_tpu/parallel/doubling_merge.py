@@ -58,12 +58,11 @@ _PAD_SYM = 7
 @functools.partial(
     jax.jit, static_argnames=("n", "blk", "d", "ns", "mesh", "native", "wide")
 )
-def _doubling_sharded_impl(syms, src, lens, *, n, blk, d, ns, mesh, native,
+def _doubling_sharded_impl(syms, src, *, n, blk, d, ns, mesh, native,
                            wide=False):
     """syms/src: [D, blk] i32 element-sharded source-major stream (pads:
-    sym=_PAD_SYM, src=ns); lens: [ns] i32 true source lengths (replicated).
-    Returns (merged syms, source ids) as [D, blk] i32 sharded by merged
-    position."""
+    sym=_PAD_SYM, src=ns). Returns (merged syms, source ids) as [D, blk]
+    i32 sharded by merged position."""
     pos_dtype = jnp.int64 if wide else jnp.int32
     BIG = jnp.asarray(d * blk, pos_dtype)     # drop/fill sentinel
     cap = 2 * blk + d                         # PSRS part-size bound + slack
@@ -80,7 +79,7 @@ def _doubling_sharded_impl(syms, src, lens, *, n, blk, d, ns, mesh, native,
         return _exchange_sim(operand, out, in_off, send_sz, out_off, recv_sz,
                              d=d)
 
-    def program(syms_blk, src_blk, lens_rep):
+    def program(syms_blk, src_blk):
         syms_l = syms_blk[0]
         src_l = src_blk[0]
         me = jax.lax.axis_index(AXIS)
@@ -281,9 +280,9 @@ def _doubling_sharded_impl(syms, src, lens, *, n, blk, d, ns, mesh, native,
     return shard_map(
         program,
         mesh=mesh,
-        in_specs=(P(AXIS, None), P(AXIS, None), P()),
+        in_specs=(P(AXIS, None), P(AXIS, None)),
         out_specs=(P(AXIS, None), P(AXIS, None)),
-    )(syms, src, lens)
+    )(syms, src)
 
 
 def sharded_doubling_merge(
@@ -317,7 +316,9 @@ def sharded_doubling_merge(
     src[:n] = np.concatenate(
         [np.full(sz, i, np.int32) for i, sz in enumerate(lens) if sz]
     )
-    wide = force_wide or n >= 2**31
+    # int32 must hold the drop/fill sentinel BIG = d*blk (> n for ragged
+    # inputs), not just n itself — gate wide mode on the sentinel value.
+    wide = force_wide or (d * blk) >= 2**31
     backend = jax.default_backend()
     native = backend in ("tpu", "axon") and (
         transport == "ragged" or os.environ.get("MSBWT_TPU_RAGGED", "") == "1"
@@ -326,7 +327,6 @@ def sharded_doubling_merge(
         out_sym, out_src = _doubling_sharded_impl(
             jnp.asarray(syms.reshape(d, blk)),
             jnp.asarray(src.reshape(d, blk)),
-            jnp.asarray(lens),
             n=n, blk=blk, d=d, ns=ns, mesh=mesh, native=native, wide=wide,
         )
         merged = np.asarray(out_sym).reshape(-1)[:n].astype(np.uint8)

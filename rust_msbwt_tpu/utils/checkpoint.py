@@ -104,7 +104,11 @@ def save_query_pack(path: str, *, packed=None, pair=None, cache=None,
         arrays["cache_lo"] = np.asarray(cache.lo)
         arrays["cache_hi"] = np.asarray(cache.hi)
         arrays["cache_k"] = np.int64(cache_k)
-    np.savez(path, **arrays)
+    # np.savez(str_path) appends ".npz" when the extension is missing, which
+    # would break the save -> os.path.isfile -> load round trip for paths
+    # like "idx.pack"; a file handle writes to the exact name given.
+    with open(path, "wb") as fh:
+        np.savez(fh, **arrays)
 
 
 def load_query_pack(path: str):

@@ -85,6 +85,47 @@ def test_query_pack_on_rle_bwt(tmp_path, decoded):
         other.load_query_indexes(p)
 
 
+def test_query_pack_extensionless_path(tmp_path, decoded):
+    """np.savez appends '.npz' to bare string paths; the pack writer must
+    honor the exact filename or save->isfile->load never round-trips."""
+    import jax.numpy as jnp
+
+    from rust_msbwt_tpu.ops.packed_rank import pack_index
+
+    index = build_occ_index(jnp.asarray(decoded))
+    p = str(tmp_path / "indexes.pack")  # no .npz extension
+    checkpoint.save_query_pack(p, packed=pack_index(index))
+    assert (tmp_path / "indexes.pack").is_file()
+    lp, _, _, _ = checkpoint.load_query_pack(p)
+    assert int(lp.n) == int(index.n)
+
+
+def test_save_query_indexes_skips_underived_packed(tmp_path, decoded):
+    """A pair-only engine must not derive (and host-copy) the packed table
+    just to persist its indexes — save what was built."""
+    from rust_msbwt_tpu.models.rle_bwt import RleBWT
+    from rust_msbwt_tpu.ops.rle import bytes_from_runs, runs_from_symbols
+
+    rle = bytes_from_runs(*runs_from_symbols(decoded))
+    a = RleBWT()
+    a.load_vector(rle)
+    a.enable_pair_index()
+    p = str(tmp_path / "pair_only.npz")
+    a.save_query_indexes(p)
+    assert a._packed_index is None  # not derived as a side effect
+    lp, lpair, _, _ = checkpoint.load_query_pack(p)
+    assert lp is None and lpair is not None
+
+    # with no index built at all, the fallback derives packed so the
+    # pack is never empty
+    b = RleBWT()
+    b.load_vector(rle)
+    p2 = str(tmp_path / "fresh.npz")
+    b.save_query_indexes(p2)
+    lp2, _, _, _ = checkpoint.load_query_pack(p2)
+    assert lp2 is not None
+
+
 def test_sharded_checkpoint_roundtrip(tmp_path, decoded):
     d = str(tmp_path / "shards")
     checkpoint.save_sharded(decoded, d, 4)

@@ -119,10 +119,89 @@ def test_query_cli_index_pack(tmp_path, capsys):
     assert query_main([str(other), "ACGT", "--index-pack", str(pack)]) == 74
 
 
+def test_query_cli_index_pack_extensionless(tmp_path, capsys):
+    """A pack path without '.npz' still round-trips (np.savez extension
+    trap), and a malformed pack exits IOERR instead of crashing."""
+    import numpy as np
+
+    from rust_msbwt_tpu.cli.query import main as query_main
+
+    out = tmp_path / "q.npy"
+    assert build_main(["-o", str(out), GOLDEN_FA]) == 0
+    pack = tmp_path / "idx.pack"
+    assert query_main([str(out), "ACGT", "--index-pack", str(pack)]) == 0
+    capsys.readouterr()
+    assert pack.is_file()  # exact name, no .npz appended
+    assert query_main([str(out), "ACGT", "--index-pack", str(pack)]) == 0
+    assert capsys.readouterr().out == "ACGT\t1\n"
+
+    # malformed packs: plain npz without our arrays, and non-zip bytes
+    bad = tmp_path / "bad.npz"
+    np.savez(str(bad), junk=np.arange(3))
+    assert query_main([str(out), "ACGT", "--index-pack", str(bad)]) == 74
+    notzip = tmp_path / "notzip.npz"
+    notzip.write_bytes(b"this is not a zip archive")
+    assert query_main([str(out), "ACGT", "--index-pack", str(notzip)]) == 74
+
+
+def test_query_cli_pack_gains_cache(tmp_path, capsys):
+    """--cache-k on top of an already-loaded pack persists the new cache
+    into the pack instead of rebuilding it every run."""
+    from rust_msbwt_tpu.cli.query import main as query_main
+    from rust_msbwt_tpu.utils.checkpoint import load_query_pack
+
+    out = tmp_path / "q.npy"
+    assert build_main(["-o", str(out), GOLDEN_FA]) == 0
+    pack = tmp_path / "idx.npz"
+    assert query_main([str(out), "ACGT", "--index-pack", str(pack)]) == 0
+    _, _, cache, ck = load_query_pack(str(pack))
+    assert cache is None and ck == 0
+    assert query_main([str(out), "ACGT", "--index-pack", str(pack),
+                       "--cache-k", "2"]) == 0
+    _, _, cache, ck = load_query_pack(str(pack))
+    assert cache is not None and ck == 2
+    capsys.readouterr()
+
+
 def test_query_cli_missing_bwt():
     from rust_msbwt_tpu.cli.query import main as query_main
 
     assert query_main(["/nonexistent.npy", "ACGT"]) == 66
+
+
+def test_correct_cli(tmp_path, capsys):
+    """msbwt2-correct repairs an injected error and passes short /
+    ragged reads through untouched."""
+    import numpy as np
+
+    from rust_msbwt_tpu.cli.correct import main as correct_main
+    from rust_msbwt_tpu.ops.alphabet import convert_itos
+
+    rng = np.random.default_rng(7)
+    genome = rng.integers(1, 6, 300).astype(np.uint8)
+    genome[genome == 4] = 5
+    L, n_reads = 60, 150
+    starts = rng.integers(0, genome.size - L, n_reads)
+    reads = [convert_itos(genome[s : s + L]) for s in starts]
+    corpus_fa = tmp_path / "corpus.fa"
+    corpus_fa.write_text("".join(f">r{i}\n{r}\n" for i, r in
+                                 enumerate(reads)))
+    bwt_npy = tmp_path / "c.npy"
+    assert build_main(["-o", str(bwt_npy), str(corpus_fa)]) == 0
+
+    truth = reads[0]
+    broken = truth[:30] + {"A": "C", "C": "G", "G": "T", "T": "A"}[
+        truth[30]] + truth[31:]
+    in_fa = tmp_path / "in.fa"
+    in_fa.write_text(f">bad\n{broken}\n>short\nACGT\n")
+    out_fa = tmp_path / "out.fa"
+    assert correct_main([str(bwt_npy), str(in_fa), "-o", str(out_fa)]) == 0
+    lines = out_fa.read_text().strip().splitlines()
+    assert lines == [">read_0", truth, ">read_1", "ACGT"]
+
+    # missing inputs -> NOINPUT
+    assert correct_main([str(bwt_npy), "/nonexistent.fa"]) == 66
+    capsys.readouterr()
 
 
 def test_extract_cli(tmp_path, capsys):
