@@ -52,6 +52,16 @@ def flag_read_errors(bwt, reads, k: int = 21, tau: int = 2,
 
     ``reads`` is an int-encoded [B, L] batch (no '$'); ``tau`` is the
     weak-count threshold (counts STRICTLY below it are weak).
+
+    >>> import numpy as np
+    >>> from rust_msbwt_tpu.models.dynamic import DynamicBWT
+    >>> from rust_msbwt_tpu.ops.alphabet import convert_stoi
+    >>> bwt = DynamicBWT()
+    >>> bwt.insert_strings(["ACGTAACC"] * 30, sorted=True)
+    >>> bad = np.array([convert_stoi("ACGTATCC")])     # error at index 5
+    >>> flags = flag_read_errors(bwt, bad, k=4, tau=2)
+    >>> bool(flags[0, 5]), bool(flags[0, 1])
+    (True, False)
     """
     reads = np.asarray(reads, dtype=np.uint8)
     if reads.ndim == 1:
@@ -81,6 +91,16 @@ def correct_reads(bwt, reads, k: int = 21, tau: int = 2,
     ``tau``); bases whose best candidate stays weak are left untouched.
     ``max_corrections_per_read`` caps accepted fixes per read (leftmost
     first), mirroring fmlrc's bounded-edit behavior.
+
+    >>> import numpy as np
+    >>> from rust_msbwt_tpu.models.dynamic import DynamicBWT
+    >>> from rust_msbwt_tpu.ops.alphabet import convert_stoi, convert_itos
+    >>> bwt = DynamicBWT()
+    >>> bwt.insert_strings(["ACGTAACC"] * 30, sorted=True)
+    >>> bad = np.array([convert_stoi("ACGTATCC")])     # error at index 5
+    >>> fixed, n = correct_reads(bwt, bad, k=4, tau=2)
+    >>> convert_itos(fixed[0]), n
+    ('ACGTAACC', 1)
     """
     reads = np.asarray(reads, dtype=np.uint8)
     if reads.ndim == 1:

@@ -25,6 +25,11 @@ _NORMALIZE[ord("u")] = ord("T")
 
 
 def normalize_seq(seq: bytes) -> bytes:
+    """Needletail ``normalize(iupac=false)`` semantics.
+
+    >>> normalize_seq(b"acgu-N")
+    b'ACGTNN'
+    """
     return _NORMALIZE[np.frombuffer(seq, dtype=np.uint8)].tobytes()
 
 

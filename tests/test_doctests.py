@@ -6,6 +6,7 @@ import doctest
 
 import pytest
 
+import rust_msbwt_tpu.apps.correct as app_correct
 import rust_msbwt_tpu.models.core as core
 import rust_msbwt_tpu.models.dynamic as dynamic
 import rust_msbwt_tpu.models.rle_bwt as rle_bwt
@@ -20,6 +21,7 @@ import rust_msbwt_tpu.parallel.partitioned as partitioned
 import rust_msbwt_tpu.parallel.sharded_index as sharded_index
 import rust_msbwt_tpu.parallel.sharded_merge as sharded_merge
 import rust_msbwt_tpu.utils.checkpoint as checkpoint
+import rust_msbwt_tpu.utils.fastx as fastx
 import rust_msbwt_tpu.utils.npy as npy
 import rust_msbwt_tpu.utils.oracle as oracle
 import rust_msbwt_tpu.utils.streaming as streaming
@@ -29,7 +31,7 @@ import rust_msbwt_tpu.utils.streaming as streaming
     "mod",
     [alphabet, rle, core, dynamic, rle_bwt, npy, oracle, merge, packed_rank,
      pair_rank, sharded_index, checkpoint, streaming, bcr, rank, partitioned,
-     sharded_merge],
+     sharded_merge, app_correct, fastx],
     ids=lambda m: m.__name__,
 )
 def test_doctests(mod):
