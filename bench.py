@@ -107,48 +107,14 @@ def run_large(reps: int = 3) -> dict:
     )
     from rust_msbwt_tpu.ops.rank import build_kmer_cache
 
-    # session-health probe: per-dispatch round-trip latency through the
-    # tunnel. The 505M build's cross-session variance (32-61 s in round 2)
-    # tracks this number — recording it alongside the build times lets a
-    # slow session be attributed to transport, not code.
-    x = jnp.zeros(8, jnp.int32)
-    f = jax.jit(lambda a: a + 1)
-    int(np.asarray(f(x)[0]))
-    t0 = time.perf_counter()
-    for _ in range(20):
-        int(np.asarray(f(x)[0]))
-    dispatch_ms = (time.perf_counter() - t0) / 20 * 1e3
+    # Session-health probes (dispatch RT / MXU / HBM): the 505M build's
+    # cross-session variance (41-94 s, same binary) tracks these — record
+    # them alongside the build times so a slow session can be attributed
+    # to transport vs device (utils.profiling.session_health).
+    from rust_msbwt_tpu.utils.profiling import session_health
 
-    # device-health probes: MXU rate (bf16 8k matmul chain) and HBM rate
-    # (elementwise pass over 512 MB). A slow session with NORMAL rates here
-    # is transport; abnormal rates here are the device (thermal/contention).
-    a = jnp.ones((8192, 8192), jnp.bfloat16)
-
-    @jax.jit
-    def mm(a):
-        def body(i, acc):
-            return jnp.dot(acc, a, preferred_element_type=jnp.bfloat16) * 0.5
-        return jax.lax.fori_loop(0, 8, body, a)
-
-    int(np.asarray(mm(a)[0, 0] * 0))
-    t0 = time.perf_counter()
-    int(np.asarray(mm(a)[0, 0] * 0))
-    mxu_tflops = 8 * 2 * 8192**3 / (time.perf_counter() - t0) / 1e12
-    big = jnp.ones(128 * 1024 * 1024, jnp.int32)
-
-    @jax.jit
-    def ew(b):
-        def body(i, acc):
-            return acc * 3 + i
-        return jax.lax.fori_loop(0, 8, body, b)
-
-    int(np.asarray(ew(big)[0] * 0))
-    t0 = time.perf_counter()
-    int(np.asarray(ew(big)[0] * 0))
-    hbm_gbps = 8 * 2 * big.size * 4 / (time.perf_counter() - t0) / 1e9
-    log(f"[large] session health: dispatch {dispatch_ms:.1f} ms, MXU "
-        f"{mxu_tflops:.0f} Tflop/s bf16, HBM {hbm_gbps:.0f} GB/s")
-    del a, big
+    health = session_health()
+    log(f"[large] session health: {health}")
 
     N, L, K, B = 5_000_000, 100, 21, 1_000_000
     rng = np.random.default_rng(0xEC011)
@@ -256,9 +222,7 @@ def run_large(reps: int = 3) -> dict:
             deep[f"cache{ck}_error"] = f"{type(e).__name__}"
     return {
         "bwt_symbols": int(idx.n),
-        "dispatch_roundtrip_ms": round(dispatch_ms, 2),
-        "mxu_tflops_bf16": round(mxu_tflops, 1),
-        "hbm_gbps": round(hbm_gbps, 1),
+        **health,
         "build_index_seconds_median": round(med, 2),
         "build_index_seconds_min": round(ts[0], 2),
         "build_index_seconds_max": round(ts[-1], 2),

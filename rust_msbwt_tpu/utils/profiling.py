@@ -65,6 +65,58 @@ def timeit(fn, *args, reps: int = 5, warmup: int = 1) -> float:
     return (time.perf_counter() - t0) / reps
 
 
+def session_health() -> dict:
+    """Three micro-probes that classify a slow session before any big run
+    (505M builds varied 41-94 s across sessions with the same binary —
+    round-3 diagnosis): per-dispatch round-trip latency through the
+    tunnel, MXU rate (bf16 8k matmul chain), and HBM rate (elementwise
+    pass over 512 MB). A slow session with NORMAL device rates is
+    transport; abnormal rates here are the device (thermal/contention).
+    Healthy v5e reference points: dispatch 2.5-36 ms (session-dependent),
+    MXU ~106-117 Tflop/s, HBM ~180-216 GB/s via tunnel."""
+    import jax.numpy as jnp
+
+    x = jnp.zeros(8, jnp.int32)
+    f = jax.jit(lambda a: a + 1)
+    int(np.asarray(f(x)[0]))
+    t0 = time.perf_counter()
+    for _ in range(20):
+        int(np.asarray(f(x)[0]))
+    dispatch_ms = (time.perf_counter() - t0) / 20 * 1e3
+
+    a = jax.jit(lambda: jnp.ones((8192, 8192), jnp.bfloat16))()
+
+    @jax.jit
+    def mm(a):
+        def body(i, acc):
+            return jnp.dot(acc, a, preferred_element_type=jnp.bfloat16) * 0.5
+        return jax.lax.fori_loop(0, 8, body, a)
+
+    int(np.asarray(mm(a)[0, 0] * 0))
+    t0 = time.perf_counter()
+    int(np.asarray(mm(a)[0, 0] * 0))
+    mxu_tflops = 8 * 2 * 8192**3 / (time.perf_counter() - t0) / 1e12
+
+    big = jax.jit(lambda: jnp.ones(128 * 1024 * 1024, jnp.int32))()
+
+    @jax.jit
+    def ew(b):
+        def body(i, acc):
+            return acc * 3 + i
+        return jax.lax.fori_loop(0, 8, body, b)
+
+    int(np.asarray(ew(big)[0] * 0))
+    t0 = time.perf_counter()
+    int(np.asarray(ew(big)[0] * 0))
+    hbm_gbps = 8 * 2 * big.size * 4 / (time.perf_counter() - t0) / 1e9
+    del a, big
+    return {
+        "dispatch_roundtrip_ms": round(dispatch_ms, 2),
+        "mxu_tflops_bf16": round(mxu_tflops, 1),
+        "hbm_gbps": round(hbm_gbps, 1),
+    }
+
+
 @dataclass
 class Roofline:
     bytes_touched: int
