@@ -46,7 +46,7 @@ print(f"raw {row_bytes}B-row gathers: {best/14/B*1e9:.1f} ns/row = "
       f"= {14*B*row_bytes/best/1e9:.0f} GB/s", flush=True)
 
 # (b) pair queries with 6^8 vs 6^10 seeds
-cache8 = build_kmer_cache(idx.bwt, idx.occ, idx.starts, idx.n, 8); sync(cache8)
+cache8 = build_kmer_cache(idx.bwt, idx.occ, idx.starts, idx.n, 8); sync(cache8.lo)
 rng2 = np.random.default_rng(0xFACE)
 rq = rng2.integers(0, n_reads, B); offs = rng2.integers(0, 80, B)
 kmers = reads[rq[:, None], offs[:, None] + np.arange(21)[None, :]].astype(np.uint8)
@@ -59,7 +59,7 @@ for _ in range(3):
     t0 = time.perf_counter(); o = run(cache8, 8); sync(o); best = min(best, time.perf_counter()-t0)
 print(f"pair cache_k=8:  {B/best:,.0f} q/s", flush=True)
 t0 = time.perf_counter()
-cache10 = build_kmer_cache(idx.bwt, idx.occ, idx.starts, idx.n, 10); sync(cache10)
+cache10 = build_kmer_cache(idx.bwt, idx.occ, idx.starts, idx.n, 10); sync(cache10.lo)
 print(f"cache 6^10 build: {time.perf_counter()-t0:.1f}s", flush=True)
 o10 = run(cache10, 10); sync(o10)
 assert np.array_equal(np.asarray(o8), np.asarray(o10))

@@ -21,15 +21,16 @@ This implementation replaces the scatter with streaming DMA + in-row gathers:
     VMEM (``a`` = insertions before the chunk, from the scalar-prefetched
     per-chunk offsets; insertions inside one chunk are <= CHUNK because
     insertion slots are distinct positions, so window sizes are static);
-    chunks with < 128 insertions — the common case — fetch only the CS+8
-    rows they can touch,
+    chunks with < 128*K insertions (K = max(1, CS//64)) — the common case —
+    fetch only the CS+8 rows they can touch,
   - the source index ``fw(j) = j - shift(j)`` is monotone with steps in
-    {0,1}. Fast path (< 128 insertions): every output row reads only window
-    rows {s+CS-1, s+CS, s+CS+1}, so THREE statically-shifted (CS,128) views
-    + three full-tile lane-gathers (``take_along_axis`` on the 128-lane
-    axis) reconstruct the whole chunk. Wide path (>= 128): per-row
-    reconstruction from a 2-chunk window. No data-dependent loop over
-    insertions, no scatter.
+    {0,1}. Fast path (< 128*K insertions): every output row s reads only
+    window rows {s+CS-K, ..., s+CS+1}, so K+2 statically-shifted (CS,128)
+    views + K+2 full-tile lane-gathers (``take_along_axis`` on the 128-lane
+    axis) reconstruct the whole chunk. K scales with CS so fast-path
+    coverage is chunk-size-invariant at a given insertion density. Wide
+    path (>= 128*K): per-row reconstruction from a 2-chunk window. No
+    data-dependent loop over insertions, no scatter.
 
 Empirical TPU constraints baked in (probed on v5e): DMA row counts must be
 multiples of 8 (unaligned counts hard-fault the runtime); gathers exist only
@@ -50,8 +51,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 # chunk geometry: CS sublane rows of 128 lanes per grid step. Must be >= 16
-# so the wide path's 8-row pair slice stays inside the 3*CS-row window, and
-# <= 128 so the within-chunk row-prefix fits the 128x128 weight plane.
+# so the wide path's 8-row pair slice stays inside the 3*CS-row window;
+# CS > 128 grows the row-prefix weight plane to CSxCS (see _wtab_np).
 # Swept 16/32/64/128 on hardware AT 16M: 64 wins with the 3-view fast path
 # (bigger pipeline blocks) — 32 was optimal for the old per-row
 # reconstruction. At 505M the pass runs ~3x below its 16M bandwidth
@@ -60,12 +61,23 @@ from jax.experimental.pallas import tpu as pltpu
 # the chunk size shapes bucket alignment and phys layouts everywhere).
 def _cs_from_env() -> int:
     import os
+    import sys
 
+    raw = os.environ.get("MSBWT_TPU_MERGE_CS", "64")
     try:
-        cs = int(os.environ.get("MSBWT_TPU_MERGE_CS", "64"))
+        cs = int(raw)
     except ValueError:
-        cs = 64
-    if cs < 16 or cs > 128 or cs & (cs - 1):
+        cs = -1
+    # Power of two in [16, 256]. CS=256 (a 32768-element chunk, ~128 KB of
+    # int32 per window buffer) is well inside VMEM and is the arm that
+    # tests whether per-chunk overhead dominates at the 505M scale.
+    if cs < 16 or cs > 256 or cs & (cs - 1):
+        if raw != "64":
+            # A silently-clamped sweep arm reports CS=64 numbers under a
+            # wrong label — reject loudly instead.
+            print(f"WARNING: MSBWT_TPU_MERGE_CS={raw!r} invalid "
+                  "(need power of two in [16, 256]); using 64",
+                  file=sys.stderr, flush=True)
         return 64
     return cs
 
@@ -73,6 +85,16 @@ def _cs_from_env() -> int:
 CS = _cs_from_env()
 CHUNK = CS * 128
 _PAD = 7
+# Fast-path insertion threshold: a chunk with < 128*K insertions is
+# reconstructed from K+2 statically-shifted window views (K=1 is the
+# original 3-view design). K scales with CS so that the fast-path
+# coverage is chunk-size-invariant: at the 505M E. coli config the mean
+# insertions/chunk is ~81 at CS=64, so CS=128/256 chunks would otherwise
+# all fall off the fast path and the chunk-size sweep would measure the
+# per-row wide path instead of the per-chunk overhead it exists to probe.
+# K <= 7 keeps the narrow window at CS+8 rows (max view row = CS+K).
+K_VIEWS = max(1, CS // 64)
+assert K_VIEWS <= 7
 
 
 def _phys_dtype_from_env():
@@ -129,16 +151,16 @@ def _merge_kernel(ca_ref, old_ref, ti_ref, wtab_ref, out_ref, tab_ref, buf,
     last = nc - 3  # last chunk that runs the DMA path
 
     def narrow(i):
-        # < 128 insertions: every source row lies in window rows
-        # [CS-1, 2*CS+2) — fetch only those (the common case; 2.4x less DMA)
-        return ca_ref[i + 1] - ca_ref[i] < 128
+        # < 128*K insertions: every source row lies in window rows
+        # [CS-K, CS+K+1] — fetch only those (the common case; ~3x less DMA)
+        return ca_ref[i + 1] - ca_ref[i] < 128 * K_VIEWS
 
     def window_dma_narrow(i):
         # NOTE: DMA row counts must be multiples of 8 — unaligned counts
         # hard-fault the TPU runtime (probed empirically).
         row_lo = (i * CHUNK - ca_ref[i] - CHUNK) // 128  # >= 0: front guard
         return pltpu.make_async_copy(
-            old_ref.at[pl.ds(row_lo + (CS - 1), CS + 8), :],
+            old_ref.at[pl.ds(row_lo + (CS - K_VIEWS), CS + 8), :],
             nbuf.at[i % 2],
             sems.at[i % 2],
         )
@@ -191,28 +213,28 @@ def _merge_kernel(ca_ref, old_ref, ti_ref, wtab_ref, out_ref, tab_ref, buf,
         # fw(s, l) = (src0 - window_base) + 128 s + l - shift_local(s, l)
         fw = (src0 - row_lo * 128) + sub * 128 + lane - tloc
 
-        # fast path (any chunk with < 128 insertions): with tloc < 128 every
-        # output row s reads only window rows {s+CS-1, s+CS, s+CS+1}, so
-        # THREE statically-shifted (CS,128) views + three full-tile
+        # fast path (any chunk with < 128*K insertions): with tloc < 128*K
+        # every output row s reads only window rows {s+CS-K, ..., s+CS+1},
+        # so K+2 statically-shifted (CS,128) views + K+2 full-tile
         # lane-gathers reconstruct the whole chunk — no per-row loop.
-        @pl.when(nins < 128)
+        @pl.when(nins < 128 * K_VIEWS)
         def _():
             window_dma_narrow(c).wait()
-            fw128 = fw - 128 * (sub + (CS - 1))  # in [0, 384)
-            m = fw128 >> 7                       # source view 0..2
-            idx = fw128 & 127
-            g = []
-            for mm in range(3):
+            fwk = fw - 128 * (sub + (CS - K_VIEWS))  # in [0, 128*(K+2))
+            m = fwk >> 7                             # source view 0..K+1
+            idx = fwk & 127
+            shifted = jnp.zeros((CS, 128), out_ref.dtype)
+            for mm in range(K_VIEWS + 2):
                 v = nbuf[c % 2, pl.ds(mm, CS), :]
-                g.append(jnp.take_along_axis(v, idx, axis=1))
-            shifted = jnp.where(m == 0, g[0], jnp.where(m == 1, g[1], g[2]))
+                g = jnp.take_along_axis(v, idx, axis=1)
+                shifted = jnp.where(m == mm, g, shifted)
             out_ref[:] = jnp.where(
                 ins > 0, (ins - 1).astype(out_ref.dtype), shifted
             )
 
-        # wide path (>= 128 insertions in one chunk — e.g. many duplicate
+        # wide path (>= 128*K insertions in one chunk — e.g. many duplicate
         # reads): per-row reconstruction, each row spans <= 2 window rows
-        @pl.when(nins >= 128)
+        @pl.when(nins >= 128 * K_VIEWS)
         def _():
             window_dma_wide(c).wait()
             rows = []
@@ -256,19 +278,25 @@ def _merge_kernel(ca_ref, old_ref, ti_ref, wtab_ref, out_ref, tab_ref, buf,
     for p in range(3):
         bits = ((mt >> p) & 1).astype(jnp.bfloat16)
         qw = qw + jnp.dot(
-            bits, wtab_ref[p].astype(jnp.bfloat16),
+            bits, wtab_ref[p, :128, :128].astype(jnp.bfloat16),
             preferred_element_type=jnp.float32,
         )
     tab = jnp.where(lane < 6, occ_rows, qw.astype(jnp.int32))
     tab_ref[:] = tab[:, :TABLE_LANES]
 
 
+# weight-plane side: 128 for the qword packing matrices, CS for the
+# within-chunk row-prefix triangle (CS > 128 grows the table; planes 0..2
+# then use only the top-left 128x128 corner)
+_W = max(CS, 128)
+
+
 def _wtab_np() -> np.ndarray:
-    """[4, 128, 128] f32 kernel weights: planes 0..2 = the qword packing
-    matrices (position i -> lane PLANE_BASE + 16p + i//8, weight 2^(i%8));
-    plane 3 = the lower-triangular within-chunk row-prefix matrix (top-left
-    CSxCS)."""
-    w = np.zeros((4, 128, 128), np.float32)
+    """[4, _W, _W] f32 kernel weights: planes 0..2 = the qword packing
+    matrices in the top-left 128x128 (position i -> lane
+    PLANE_BASE + 16p + i//8, weight 2^(i%8)); plane 3 = the
+    lower-triangular within-chunk row-prefix matrix (top-left CSxCS)."""
+    w = np.zeros((4, _W, _W), np.float32)
     for plane in range(3):
         for i in range(128):
             w[plane, i, PLANE_BASE + 16 * plane + i // 8] = float(1 << (i % 8))
@@ -289,7 +317,7 @@ def _merge_call(chunk_a, old_phys, ti_phys, *, interpret=False):
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # old buffer, DMA'd manually
             pl.BlockSpec((CS, 128), lambda c, ca: (c, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, 128, 128), lambda c, ca: (0, 0, 0),
+            pl.BlockSpec((4, _W, _W), lambda c, ca: (0, 0, 0),
                          memory_space=pltpu.VMEM),  # constant weights
         ],
         out_specs=[

@@ -13,6 +13,7 @@ import jax.numpy as jnp
 from rust_msbwt_tpu.ops.bcr import build_msbwt, encode_reads
 from rust_msbwt_tpu.ops.pallas_merge import (
     CHUNK,
+    K_VIEWS,
     _PAD,
     from_phys,
     merge_insert_phys,
@@ -71,6 +72,31 @@ def test_merge_insert_matches_oracle(n_old, n_ins, n_cap):
 
 def test_merge_insert_masked():
     _run(500, 100, 800, seed=7, frac_active=0.5)
+
+
+@pytest.mark.parametrize("delta", [-8, 8])
+def test_merge_insert_fastpath_threshold(delta):
+    """Straddle the fast/wide path boundary (128*K_VIEWS insertions per
+    chunk): just under exercises the outermost of the K+2 shifted views
+    (maximal within-chunk shift), just over exercises the per-row wide
+    path — at whatever CS the module was imported with."""
+    r = np.random.default_rng(abs(delta))
+    n_ins = 128 * K_VIEWS + delta
+    n_old = 2 * CHUNK
+    old = r.integers(0, 6, n_old).astype(np.int32)
+    # consecutive slots inside the second logical chunk maximize tloc
+    q = (CHUNK + 64 + np.arange(n_ins)).astype(np.int32)
+    v = r.integers(0, 6, n_ins).astype(np.int32)
+    n_cap = n_old + n_ins
+    old_log = np.full(n_cap, _PAD, np.int32)
+    old_log[:n_old] = old
+    phys = to_phys(jnp.asarray(old_log), n_cap)
+    new_phys, _tab, _ = merge_insert_phys(
+        phys, jnp.asarray(q), jnp.asarray(v), jnp.ones(n_ins, bool), interpret=True
+    )
+    got = np.asarray(from_phys(new_phys, n_cap))
+    want = _oracle_insert(old, q, v, np.ones(n_ins, bool))
+    assert np.array_equal(got, want)
 
 
 def test_merge_insert_clustered_full_chunk():
