@@ -81,9 +81,48 @@ def flag_read_errors(bwt, reads, k: int = 21, tau: int = 2,
     return flags
 
 
+def _score_candidates(bwt, reads, ridx, pidx, k: int,
+                      bidirectional: bool) -> np.ndarray:
+    """[S, 4] min covering-window count per (suspect, candidate base);
+    -1 where the candidate equals the read's current base. Fully
+    vectorized assembly (no per-suspect Python loop)."""
+    L = reads.shape[1]
+    S = ridx.size
+    p = pidx.astype(np.int64)
+    j0 = np.maximum(0, p - k + 1)                    # first covering window
+    j1 = np.minimum(p, L - k)                        # last covering window
+    w = np.arange(k, dtype=np.int64)                 # window slot axis
+    j = j0[:, None] + w[None, :]                     # [S, k] window starts
+    valid_w = j <= j1[:, None]
+    jc = np.minimum(j, j1[:, None])                  # clip for safe gathers
+    t = np.arange(k, dtype=np.int64)                 # within-window axis
+    # window contents straight off the reads: [S, k(win), k(len)]
+    base_win = reads[ridx[:, None, None], jc[:, :, None] + t[None, None, :]]
+    off = p[:, None] - jc                            # p's slot in each window
+    is_sub = t[None, None, :] == off[:, :, None]     # [S, k, k]
+    # all four candidate substitutions at once: [S, 4, k, k]
+    km = np.where(is_sub[:, None, :, :],
+                  _DNA[None, :, None, None], base_win[:, None, :, :])
+    cand_ok = _DNA[None, :] != reads[ridx, pidx][:, None]   # [S, 4]
+    cell_ok = cand_ok[:, :, None] & valid_w[:, None, :]     # [S, 4, k]
+    flat_ok = cell_ok.reshape(-1)
+    counts_flat = np.zeros(flat_ok.size, dtype=np.int64)
+    kmers = km.reshape(-1, k)[flat_ok]
+    counts_flat[flat_ok] = np.asarray(
+        bwt.count_kmers_bidirectional(kmers) if bidirectional
+        else bwt.count_kmers(kmers)
+    )
+    counts = counts_flat.reshape(S, len(_DNA), k)
+    counts[~cell_ok] = np.iinfo(np.int64).max        # excluded from the min
+    mins = counts.min(axis=2)
+    mins[~cand_ok] = -1
+    return mins
+
+
 def correct_reads(bwt, reads, k: int = 21, tau: int = 2,
                   bidirectional: bool = True,
-                  max_corrections_per_read: int | None = None):
+                  max_corrections_per_read: int | None = None,
+                  suspect_chunk: int = 16384):
     """Returns ``(corrected_reads, n_corrected)``.
 
     One substitution is chosen per suspect base (the candidate whose
@@ -91,6 +130,13 @@ def correct_reads(bwt, reads, k: int = 21, tau: int = 2,
     ``tau``); bases whose best candidate stays weak are left untouched.
     ``max_corrections_per_read`` caps accepted fixes per read (leftmost
     first), mirroring fmlrc's bounded-edit behavior.
+
+    Candidate fan-out is bounded: suspects are scored in chunks of
+    ``suspect_chunk`` (each chunk is one batched device call of at most
+    ``suspect_chunk * 4 * k`` k-mers), so a batch where nearly every base
+    is flagged — wrong index, contaminant reads, very low coverage —
+    degrades to more device calls instead of an unbounded host loop and a
+    single enormous device program.
 
     >>> import numpy as np
     >>> from rust_msbwt_tpu.models.dynamic import DynamicBWT
@@ -105,38 +151,19 @@ def correct_reads(bwt, reads, k: int = 21, tau: int = 2,
     reads = np.asarray(reads, dtype=np.uint8)
     if reads.ndim == 1:
         reads = reads[None, :]
-    B, L = reads.shape
+    if suspect_chunk < 1:
+        raise ValueError(f"suspect_chunk must be >= 1, got {suspect_chunk}")
     flags = flag_read_errors(bwt, reads, k, tau, bidirectional)
     ridx, pidx = np.nonzero(flags)
-    if ridx.size == 0:
+    S = ridx.size
+    if S == 0:
         return reads.copy(), 0
 
-    # assemble every (suspect, candidate, covering window) k-mer
-    kmers, meta = [], []
-    for s, (r, p) in enumerate(zip(ridx, pidx)):
-        j0, j1 = max(0, p - k + 1), min(p, L - k)
-        for c, base in enumerate(_DNA):
-            if base == reads[r, p]:
-                continue
-            patched = reads[r].copy()
-            patched[p] = base
-            for j in range(j0, j1 + 1):
-                kmers.append(patched[j : j + k])
-                meta.append((s, c))
-    kmers = np.asarray(kmers, dtype=np.uint8)
-    counts = (
-        bwt.count_kmers_bidirectional(kmers) if bidirectional
-        else bwt.count_kmers(kmers)
-    )
-
-    # min covering-window count per (suspect, candidate)
-    S = ridx.size
-    best = np.full((S, len(_DNA)), -1, dtype=np.int64)
-    mins = np.full((S, len(_DNA)), np.iinfo(np.int64).max, dtype=np.int64)
-    for (s, c), cnt in zip(meta, counts):
-        mins[s, c] = min(mins[s, c], int(cnt))
-        best[s, c] = 0  # candidate exists
-    mins[best < 0] = -1
+    mins = np.concatenate([
+        _score_candidates(bwt, reads, ridx[c0 : c0 + suspect_chunk],
+                          pidx[c0 : c0 + suspect_chunk], k, bidirectional)
+        for c0 in range(0, S, suspect_chunk)
+    ])
 
     out = reads.copy()
     n_fixed = 0

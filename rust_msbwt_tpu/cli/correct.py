@@ -68,13 +68,16 @@ def main(argv=None) -> int:
     if args.kmer_size < 1:
         logger.error("k must be >= 1 (got %d)", args.kmer_size)
         return EX_NOINPUT
+    if args.batch_size < 1:
+        logger.error("--batch-size must be >= 1 (got %d)", args.batch_size)
+        return EX_NOINPUT
 
     import numpy as np
 
     from rust_msbwt_tpu.apps.correct import correct_reads
     from rust_msbwt_tpu.models.rle_bwt import RleBWT
     from rust_msbwt_tpu.ops.alphabet import STRING_TO_INT, convert_itos
-    from rust_msbwt_tpu.utils.fastx import parse_fastx
+    from rust_msbwt_tpu.utils.fastx import parse_fastx_records
 
     try:
         bwt = RleBWT()
@@ -86,10 +89,12 @@ def main(argv=None) -> int:
         bwt.enable_kmer_cache(args.cache_k)
 
     try:
-        seqs = list(parse_fastx(args.READS))
+        records = list(parse_fastx_records(args.READS))
     except (OSError, ValueError) as e:
         logger.error("Error reading %r: %s", args.READS, e)
         return EX_IOERR
+    names = [n for n, _ in records]
+    seqs = [s for _, s in records]
 
     # bucket by length: the device pipeline is fixed-shape per batch
     by_len: dict[int, list[int]] = {}
@@ -126,7 +131,10 @@ def main(argv=None) -> int:
         fh = open(args.out, "w") if args.out else sys.stdout
         try:
             for i, s in enumerate(out_seqs):
-                fh.write(f">read_{i}\n{s}\n")
+                # preserve input record identity (mate pairing, barcodes);
+                # fall back to a positional name only for nameless records
+                name = names[i].decode(errors="replace") or f"read_{i}"
+                fh.write(f">{name}\n{s}\n")
         finally:
             if fh is not sys.stdout:
                 fh.close()

@@ -43,13 +43,31 @@ def _open_maybe_gzip(filename: str):
 
 def parse_fastx(filename: str) -> Iterator[bytes]:
     """Yield normalized sequences from a FASTA or FASTQ file (plain or gzip)."""
+    for _name, seq in parse_fastx_records(filename):
+        yield seq
+
+
+def parse_fastx_records(filename: str) -> Iterator[tuple[bytes, bytes]]:
+    """Yield ``(name, normalized_sequence)`` pairs from a FASTA or FASTQ
+    file (plain or gzip). ``name`` is the raw header line minus the
+    leading ``>``/``@`` marker (full description, not just the first
+    token) — record-identity-preserving tools (read correction, mate
+    pairing) need it surfaced, not dropped.
+
+    >>> import tempfile, os
+    >>> path = tempfile.mktemp(suffix=".fa")
+    >>> _ = open(path, "w").write(">r1 sample\\nACGT\\n>r2\\nttgg\\n")
+    >>> [(n, s) for n, s in parse_fastx_records(path)]
+    [(b'r1 sample', b'ACGT'), (b'r2', b'TTGG')]
+    >>> os.unlink(path)
+    """
     fp = _open_maybe_gzip(filename)
     try:
         first = fp.readline()
         if not first:
             return
         if first.startswith(b">"):
-            yield from _parse_fasta(fp)
+            yield from _parse_fasta(fp, first)
         elif first.startswith(b"@"):
             yield from _parse_fastq(fp, first)
         else:
@@ -60,20 +78,22 @@ def parse_fastx(filename: str) -> Iterator[bytes]:
         fp.close()
 
 
-def _parse_fasta(fp) -> Iterator[bytes]:
+def _parse_fasta(fp, first_header: bytes) -> Iterator[tuple[bytes, bytes]]:
     # every '>' closes the previous record (empty records are records too)
+    name = first_header.rstrip(b"\r\n")[1:]
     chunks: list[bytes] = []
     for line in fp:
         line = line.rstrip(b"\r\n")
         if line.startswith(b">"):
-            yield normalize_seq(b"".join(chunks))
+            yield name, normalize_seq(b"".join(chunks))
+            name = line[1:]
             chunks = []
         elif line:
             chunks.append(line)
-    yield normalize_seq(b"".join(chunks))
+    yield name, normalize_seq(b"".join(chunks))
 
 
-def _parse_fastq(fp, first_header: bytes) -> Iterator[bytes]:
+def _parse_fastq(fp, first_header: bytes) -> Iterator[tuple[bytes, bytes]]:
     header = first_header
     while header:
         seq = fp.readline().rstrip(b"\r\n")
@@ -81,5 +101,5 @@ def _parse_fastq(fp, first_header: bytes) -> Iterator[bytes]:
         qual = fp.readline()
         if not plus.startswith(b"+") or not qual:
             raise ValueError("truncated FASTQ record")
-        yield normalize_seq(seq)
+        yield header.rstrip(b"\r\n")[1:], normalize_seq(seq)
         header = fp.readline()

@@ -57,3 +57,30 @@ def test_correction_cap(corpus):
     _fixed, n = correct_reads(bwt, test_reads, k=21, tau=2,
                               max_corrections_per_read=0)
     assert n == 0
+
+
+def test_correction_chunked_scoring_matches(corpus):
+    """suspect_chunk bounds the per-device-call candidate fan-out; a tiny
+    chunk size must change nothing but the number of batched calls."""
+    bwt, test_reads, _truth, _err_pos = corpus
+    fixed_a, n_a = correct_reads(bwt, test_reads, k=21, tau=2)
+    fixed_b, n_b = correct_reads(bwt, test_reads, k=21, tau=2,
+                                 suspect_chunk=3)
+    assert n_a == n_b
+    assert np.array_equal(fixed_a, fixed_b)
+    with pytest.raises(ValueError):
+        correct_reads(bwt, test_reads, k=21, tau=2, suspect_chunk=0)
+
+
+def test_correction_edge_positions(corpus):
+    """Errors at the first and last base (single covering window, window
+    clipping at both read edges) are scored and repaired."""
+    bwt, _test_reads, truth, _err_pos = corpus
+    broken = truth[:2].copy()
+    alt = {1: 2, 2: 3, 3: 5, 5: 1}
+    broken[0, 0] = alt[int(broken[0, 0])]
+    broken[1, -1] = alt[int(broken[1, -1])]
+    fixed, n = correct_reads(bwt, broken, k=21, tau=2)
+    assert n >= 2
+    assert fixed[0, 0] == truth[0, 0]
+    assert fixed[1, -1] == truth[1, -1]

@@ -197,10 +197,12 @@ def test_correct_cli(tmp_path, capsys):
     out_fa = tmp_path / "out.fa"
     assert correct_main([str(bwt_npy), str(in_fa), "-o", str(out_fa)]) == 0
     lines = out_fa.read_text().strip().splitlines()
-    assert lines == [">read_0", truth, ">read_1", "ACGT"]
+    # input record names are preserved (mate pairing / barcodes)
+    assert lines == [">bad", truth, ">short", "ACGT"]
 
-    # missing inputs -> NOINPUT
+    # missing inputs -> NOINPUT; bad batch size -> NOINPUT (not a traceback)
     assert correct_main([str(bwt_npy), "/nonexistent.fa"]) == 66
+    assert correct_main([str(bwt_npy), str(in_fa), "--batch-size", "0"]) == 66
     capsys.readouterr()
 
 
