@@ -51,7 +51,10 @@ step final 3600 python benchmarks/probes/probe_final.py
 step table64_off 2400 python benchmarks/probes/probe_merge_cs.py 1000000 100 64
 step table64_on 2400 env MSBWT_TPU_TABLE64=1 python benchmarks/probes/probe_merge_cs.py 1000000 100 64
 
-# 7. LAST: i16 DMA/gather primitives (can hard-fault the TPU runtime)
+# 7. LAST: primitives that can hard-fault the TPU runtime, then their
+#    build-scale A/Bs (vs the table64_off baseline arm above)
+step ins8 900 python benchmarks/probes/probe_ins8.py
+step ins8_build 2400 env MSBWT_TPU_INS8=1 python benchmarks/probes/probe_merge_cs.py 1000000 100 64
 step i16 1200 python benchmarks/probes/probe_i16.py
 
 echo "=== all done; logs in $LOGS ==="

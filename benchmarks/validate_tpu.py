@@ -240,8 +240,11 @@ def main() -> int:
         {"MSBWT_TPU_PHYS_DTYPE": "int16"},
         {"MSBWT_TPU_TABLE64": "1"},
         {"MSBWT_TPU_MERGE_CS": "32"},
+        {"MSBWT_TPU_INS8": "1"},
         {"MSBWT_TPU_PHYS_DTYPE": "int16", "MSBWT_TPU_TABLE64": "1",
          "MSBWT_TPU_MERGE_CS": "128"},
+        {"MSBWT_TPU_INS8": "1", "MSBWT_TPU_PHYS_DTYPE": "int16",
+         "MSBWT_TPU_TABLE64": "1"},
     ):
         label = ",".join(f"{k.replace('MSBWT_TPU_', '')}={v}"
                          for k, v in env_kv.items())

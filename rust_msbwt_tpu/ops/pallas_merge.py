@@ -129,6 +129,37 @@ TABLE_LANES = _table_lanes_from_env()
 PLANE_BASE = 8 if TABLE_LANES == 64 else 32
 
 
+def _ins8_from_env() -> bool:
+    """Stream only the int8 insertion values to the kernel and derive the
+    shift map (tmap) IN-KERNEL instead of shipping a packed
+    ``(tmap << 3) | ins`` int32 word per position. tmap is an inclusive
+    prefix over the insertion indicator, which the kernel can compute with
+    two MXU matmuls (within-row lane prefix + within-chunk row prefix —
+    the same trick the fused table's occ rows already use); the global
+    offset ``a`` comes off the scalar-prefetched per-chunk counts that the
+    window DMA needs anyway. Cuts the kernel's per-stage stream from 4
+    bytes/position to 1 and removes the XLA-side tmap materialization +
+    pack passes entirely (~12C of prep HBM traffic per stage at capacity
+    C). Risk: int8 BlockSpec input tiles are untested on hardware (uint8
+    buffers miscompile — a recorded trap; int8 *may* share it), so this is
+    opt-in via ``MSBWT_TPU_INS8=1`` until probed. Requires CS >= 32 (int8
+    tile sublane granularity)."""
+    import os
+    import sys
+
+    if os.environ.get("MSBWT_TPU_INS8") != "1":
+        return False
+    if CS < 32:
+        print("WARNING: MSBWT_TPU_INS8=1 requires CS >= 32 "
+              f"(int8 tile granularity); ignoring at CS={CS}",
+              file=sys.stderr, flush=True)
+        return False
+    return True
+
+
+INS8 = _ins8_from_env()
+
+
 def _merge_kernel(ca_ref, old_ref, ti_ref, wtab_ref, out_ref, tab_ref, buf,
                   nbuf, occ_acc, sems):
     """One output chunk. Grid dim 0 walks phys chunks. Chunk 0 (front guard)
@@ -197,12 +228,31 @@ def _merge_kernel(ca_ref, old_ref, ti_ref, wtab_ref, out_ref, tab_ref, buf,
 
     @pl.when(jnp.logical_not(guard))
     def _():
-        ti = ti_ref[:]  # packed per-position word: (shift-count << 3) | insval
-        ins = ti & 7
-        is_ins = (ins > 0).astype(jnp.int32)
         a = ca_ref[c]  # insertions strictly before the chunk start
         nins = ca_ref[c + 1] - a
-        tloc = (ti >> 3) - a - is_ins
+        if INS8:
+            # int8 stream: only the insertion values ship; the shift map
+            # is derived here. tloc = W - is_ins where W = within-chunk
+            # inclusive insertion count, via two exact MXU matmuls
+            # (indicator row sums <= 128: bf16-exact; row totals <= CHUNK
+            # << 2^24: f32-exact).
+            ins = ti_ref[:].astype(jnp.int32)
+            is_ins = (ins > 0).astype(jnp.int32)
+            bits = (ins > 0).astype(jnp.bfloat16)
+            rowcum = jnp.dot(
+                bits, wtab_ref[4, :128, :128].astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
+            rowtot = jnp.broadcast_to(rowcum[:, 127:128], (CS, 128))
+            rows_incl = jnp.dot(wtab_ref[3, :CS, :CS], rowtot,
+                                preferred_element_type=jnp.float32)
+            w_cnt = (rowcum + rows_incl - rowtot).astype(jnp.int32)
+            tloc = w_cnt - is_ins
+        else:
+            ti = ti_ref[:]  # packed word: (shift-count << 3) | insval
+            ins = ti & 7
+            is_ins = (ins > 0).astype(jnp.int32)
+            tloc = (ti >> 3) - a - is_ins
 
         src0 = c * CHUNK - a
         row_lo = (src0 - CHUNK) // 128
@@ -292,15 +342,18 @@ _W = max(CS, 128)
 
 
 def _wtab_np() -> np.ndarray:
-    """[4, _W, _W] f32 kernel weights: planes 0..2 = the qword packing
+    """[5, _W, _W] f32 kernel weights: planes 0..2 = the qword packing
     matrices in the top-left 128x128 (position i -> lane
     PLANE_BASE + 16p + i//8, weight 2^(i%8)); plane 3 = the
-    lower-triangular within-chunk row-prefix matrix (top-left CSxCS)."""
-    w = np.zeros((4, _W, _W), np.float32)
+    lower-triangular within-chunk row-prefix matrix (top-left CSxCS);
+    plane 4 = the upper-triangular within-row inclusive lane-prefix
+    matrix (top-left 128x128, used by the INS8 in-kernel shift map)."""
+    w = np.zeros((5, _W, _W), np.float32)
     for plane in range(3):
         for i in range(128):
             w[plane, i, PLANE_BASE + 16 * plane + i // 8] = float(1 << (i % 8))
     w[3, :CS, :CS] = np.tril(np.ones((CS, CS), np.float32))
+    w[4, :128, :128] = np.triu(np.ones((128, 128), np.float32))
     return w
 
 
@@ -317,7 +370,7 @@ def _merge_call(chunk_a, old_phys, ti_phys, *, interpret=False):
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # old buffer, DMA'd manually
             pl.BlockSpec((CS, 128), lambda c, ca: (c, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, _W, _W), lambda c, ca: (0, 0, 0),
+            pl.BlockSpec((5, _W, _W), lambda c, ca: (0, 0, 0),
                          memory_space=pltpu.VMEM),  # constant weights
         ],
         out_specs=[
@@ -412,6 +465,18 @@ def merge_insert_phys(old_phys, q, v, active, *, interpret=False):
         .set(v.astype(jnp.int8) + 1, mode="drop")
         .reshape(rows, 128)
     )
+    if INS8:
+        # the kernel derives the shift map itself; ship only the int8
+        # values + the per-chunk counts the window DMA needs anyway
+        counts = jnp.sum(
+            (ins > 0).reshape(n_chunks, CS * 128), axis=1, dtype=jnp.int32
+        )
+        chunk_a = jnp.concatenate(
+            [jnp.zeros(1, jnp.int32), jnp.cumsum(counts, dtype=jnp.int32)]
+        )
+        new_phys, table = _merge_call(chunk_a, old_phys, ins,
+                                      interpret=interpret)
+        return new_phys, table, m
     tmap = _tmap_from_delta((ins > 0).astype(jnp.int32))
     # per-chunk exclusive insertion counts straight off tmap chunk boundaries
     # (a strided slice — a second N-element scatter costs ~12 ns/element)
