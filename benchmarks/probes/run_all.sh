@@ -37,6 +37,10 @@ step pairfast 1800 python benchmarks/probes/probe_pairfast.py
 #    build win if per-chunk overhead dominates at scale)
 step merge_cs 7200 python benchmarks/probes/probe_merge_cs.py 5000000 100 64 128 256
 
+# 2b. DMA pipeline depth at the 505M config (if the ~4us/chunk at scale
+#     is window-read latency, 4 outstanding DMAs should shrink it)
+step dma4 2400 env MSBWT_TPU_DMA_DEPTH=4 python benchmarks/probes/probe_merge_cs.py 5000000 100 64
+
 # 3. bucket growth factor A/B at 1M reads
 step growth 1800 python benchmarks/probes/probe_growth.py 1000000 2,1.3
 

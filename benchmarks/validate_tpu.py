@@ -245,6 +245,7 @@ def main() -> int:
          "MSBWT_TPU_MERGE_CS": "128"},
         {"MSBWT_TPU_INS8": "1", "MSBWT_TPU_PHYS_DTYPE": "int16",
          "MSBWT_TPU_TABLE64": "1"},
+        {"MSBWT_TPU_DMA_DEPTH": "4"},
     ):
         label = ",".join(f"{k.replace('MSBWT_TPU_', '')}={v}"
                          for k, v in env_kv.items())

@@ -160,14 +160,41 @@ def _ins8_from_env() -> bool:
 INS8 = _ins8_from_env()
 
 
+def _dma_depth_from_env() -> int:
+    """Window-DMA pipeline depth (buffers in flight). Default 2 = the
+    classic double buffer (one outstanding prefetch). At the 505M build
+    the merge pass runs ~4 us/chunk vs 640 ns at 16M — if that gap is
+    HBM latency on the dynamic-start window reads over a multi-GB buffer,
+    more outstanding DMAs hide it. Env ``MSBWT_TPU_DMA_DEPTH`` (2..8),
+    A/B on hardware before changing the default."""
+    import os
+    import sys
+
+    raw = os.environ.get("MSBWT_TPU_DMA_DEPTH", "2")
+    try:
+        d = int(raw)
+    except ValueError:
+        d = -1
+    if not 2 <= d <= 8:
+        if raw != "2":
+            print(f"WARNING: MSBWT_TPU_DMA_DEPTH={raw!r} invalid "
+                  "(need 2..8); using 2", file=sys.stderr, flush=True)
+        return 2
+    return d
+
+
+DMA_DEPTH = _dma_depth_from_env()
+
+
 def _merge_kernel(ca_ref, old_ref, ti_ref, wtab_ref, out_ref, tab_ref, buf,
                   nbuf, occ_acc, sems):
     """One output chunk. Grid dim 0 walks phys chunks. Chunk 0 (front guard)
     and the last two chunks (back guard; the third back-guard chunk still
     runs the DMA path and lands on old-buffer PAD) are written as PAD without
-    DMA, which keeps every window read in-bounds. Window DMAs are
-    double-buffered: chunk c issues chunk c+1's DMA before waiting on its
-    own, using the scalar-prefetched per-chunk insertion offsets ``ca_ref``.
+    DMA, which keeps every window read in-bounds. Window DMAs are pipelined
+    DMA_DEPTH deep (default 2 = double-buffered): chunk c issues chunk
+    c+DEPTH-1's DMA before waiting on its own, using the scalar-prefetched
+    per-chunk insertion offsets ``ca_ref``.
 
     The kernel ALSO emits the packed rank-table rows for the merged chunk
     (``tab_ref``): lanes 0..5 hold per-symbol occurrences strictly before
@@ -192,15 +219,17 @@ def _merge_kernel(ca_ref, old_ref, ti_ref, wtab_ref, out_ref, tab_ref, buf,
         row_lo = (i * CHUNK - ca_ref[i] - CHUNK) // 128  # >= 0: front guard
         return pltpu.make_async_copy(
             old_ref.at[pl.ds(row_lo + (CS - K_VIEWS), CS + 8), :],
-            nbuf.at[i % 2],
-            sems.at[i % 2],
+            nbuf.at[i % DMA_DEPTH],
+            sems.at[i % DMA_DEPTH],
         )
 
     def window_dma_wide(i):
         # full window: sources may reach back a whole chunk
         row_lo = (i * CHUNK - ca_ref[i] - CHUNK) // 128
         return pltpu.make_async_copy(
-            old_ref.at[pl.ds(row_lo, 3 * CS), :], buf.at[i % 2], sems.at[i % 2]
+            old_ref.at[pl.ds(row_lo, 3 * CS), :],
+            buf.at[i % DMA_DEPTH],
+            sems.at[i % DMA_DEPTH],
         )
 
     def start_dma(i):
@@ -212,13 +241,18 @@ def _merge_kernel(ca_ref, old_ref, ti_ref, wtab_ref, out_ref, tab_ref, buf,
         def _():
             window_dma_wide(i).start()
 
+    # DMA pipeline, DMA_DEPTH buffers: chunk `first` fills the initial
+    # window(s) [first, first + DEPTH - 2]; every chunk then keeps
+    # DEPTH - 1 prefetches outstanding by issuing chunk c + DEPTH - 1.
     @pl.when(c == first)
     def _():
-        start_dma(first)
+        for j in range(DMA_DEPTH - 1):
+            if first + j <= last:  # static: grid size is trace-time known
+                start_dma(first + j)
 
-    @pl.when((c >= first) & (c < last))
+    @pl.when((c >= first) & (c + (DMA_DEPTH - 1) <= last))
     def _():
-        start_dma(c + 1)
+        start_dma(c + (DMA_DEPTH - 1))
 
     guard = (c == 0) | (c >= nc - 2)
 
@@ -258,7 +292,7 @@ def _merge_kernel(ca_ref, old_ref, ti_ref, wtab_ref, out_ref, tab_ref, buf,
         row_lo = (src0 - CHUNK) // 128
         lane = jax.lax.broadcasted_iota(jnp.int32, (CS, 128), 1)
         sub = jax.lax.broadcasted_iota(jnp.int32, (CS, 128), 0)
-        win = buf.at[c % 2]  # wide-path window (full 3*CS rows)
+        win = buf.at[c % DMA_DEPTH]  # wide-path window (full 3*CS rows)
         # source index into the window, monotone with steps in {0, 1}:
         # fw(s, l) = (src0 - window_base) + 128 s + l - shift_local(s, l)
         fw = (src0 - row_lo * 128) + sub * 128 + lane - tloc
@@ -275,7 +309,7 @@ def _merge_kernel(ca_ref, old_ref, ti_ref, wtab_ref, out_ref, tab_ref, buf,
             idx = fwk & 127
             shifted = jnp.zeros((CS, 128), out_ref.dtype)
             for mm in range(K_VIEWS + 2):
-                v = nbuf[c % 2, pl.ds(mm, CS), :]
+                v = nbuf[c % DMA_DEPTH, pl.ds(mm, CS), :]
                 g = jnp.take_along_axis(v, idx, axis=1)
                 shifted = jnp.where(m == mm, g, shifted)
             out_ref[:] = jnp.where(
@@ -379,10 +413,10 @@ def _merge_call(chunk_a, old_phys, ti_phys, *, interpret=False):
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, 3 * CS, 128), old_phys.dtype),
-            pltpu.VMEM((2, CS + 8, 128), old_phys.dtype),
+            pltpu.VMEM((DMA_DEPTH, 3 * CS, 128), old_phys.dtype),
+            pltpu.VMEM((DMA_DEPTH, CS + 8, 128), old_phys.dtype),
             pltpu.VMEM((8, 128), jnp.int32),  # running global occ prefix
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((DMA_DEPTH,)),
         ],
     )
     return pl.pallas_call(
