@@ -390,6 +390,12 @@ def main():
         "vs_baseline": round(qps / cpu_qps, 2),
         "extra": {
             "ecoli_505M": large,
+            # active perf-lever env knobs, so a recorded number can always
+            # be traced back to the exact kernel configuration it measured
+            "knobs": {
+                k: v for k, v in __import__("os").environ.items()
+                if k.startswith("MSBWT_TPU_")
+            } or None,
             "build_mbases_per_s": round(build_mbases_s, 3),
             "build_seconds": round(build_s, 3),
             "build_100k_reads_mbases_per_s": round(build100k_mbases_s, 3),
