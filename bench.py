@@ -393,7 +393,7 @@ def main():
             # active perf-lever env knobs, so a recorded number can always
             # be traced back to the exact kernel configuration it measured
             "knobs": {
-                k: v for k, v in __import__("os").environ.items()
+                k: v for k, v in os.environ.items()
                 if k.startswith("MSBWT_TPU_")
             } or None,
             "build_mbases_per_s": round(build_mbases_s, 3),

@@ -375,19 +375,25 @@ def _merge_kernel(ca_ref, old_ref, ti_ref, wtab_ref, out_ref, tab_ref, buf,
 _W = max(CS, 128)
 
 
+# plane count: the INS8-only lane-prefix plane is built and shipped only
+# when INS8 is on, so the default configuration stays byte-identical
+_N_PLANES = 5 if INS8 else 4
+
+
 def _wtab_np() -> np.ndarray:
-    """[5, _W, _W] f32 kernel weights: planes 0..2 = the qword packing
-    matrices in the top-left 128x128 (position i -> lane
+    """[_N_PLANES, _W, _W] f32 kernel weights: planes 0..2 = the qword
+    packing matrices in the top-left 128x128 (position i -> lane
     PLANE_BASE + 16p + i//8, weight 2^(i%8)); plane 3 = the
     lower-triangular within-chunk row-prefix matrix (top-left CSxCS);
-    plane 4 = the upper-triangular within-row inclusive lane-prefix
-    matrix (top-left 128x128, used by the INS8 in-kernel shift map)."""
-    w = np.zeros((5, _W, _W), np.float32)
+    plane 4 (INS8 only) = the upper-triangular within-row inclusive
+    lane-prefix matrix (top-left 128x128, for the in-kernel shift map)."""
+    w = np.zeros((_N_PLANES, _W, _W), np.float32)
     for plane in range(3):
         for i in range(128):
             w[plane, i, PLANE_BASE + 16 * plane + i // 8] = float(1 << (i % 8))
     w[3, :CS, :CS] = np.tril(np.ones((CS, CS), np.float32))
-    w[4, :128, :128] = np.triu(np.ones((128, 128), np.float32))
+    if INS8:
+        w[4, :128, :128] = np.triu(np.ones((128, 128), np.float32))
     return w
 
 
@@ -404,7 +410,7 @@ def _merge_call(chunk_a, old_phys, ti_phys, *, interpret=False):
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # old buffer, DMA'd manually
             pl.BlockSpec((CS, 128), lambda c, ca: (c, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((5, _W, _W), lambda c, ca: (0, 0, 0),
+            pl.BlockSpec((_N_PLANES, _W, _W), lambda c, ca: (0, 0, 0),
                          memory_space=pltpu.VMEM),  # constant weights
         ],
         out_specs=[
