@@ -45,6 +45,12 @@ def main(argv=None) -> int:
         help="query-index sidecar: loaded if it exists, else derived "
         "indexes are saved there for the next run",
     )
+    parser.add_argument(
+        "--locate", action="store_true",
+        help="also print one 'kmer<TAB>read_id<TAB>offset' line per "
+        "occurrence (read ids are lexicographic; the id space of "
+        "msbwt2-extract)",
+    )
     args = parser.parse_args(argv)
 
     from rust_msbwt_tpu.utils.jaxcache import enable_persistent_cache
@@ -119,6 +125,14 @@ def main(argv=None) -> int:
     out = sys.stdout
     for txt, cnt in zip(kmers_txt, counts.tolist()):
         out.write(f"{txt}\t{cnt}\n")
+    if args.locate:
+        from rust_msbwt_tpu.ops.extract import locate_kmers
+
+        n_strings = bwt.get_symbol_count(0)
+        q, r, o = locate_kmers(bwt.device_index, kmers, n_strings,
+                               lengths=lengths)
+        for qi, rid, off in zip(q.tolist(), r.tolist(), o.tolist()):
+            out.write(f"{kmers_txt[qi]}\t{rid}\t{off}\n")
     return 0
 
 

@@ -77,3 +77,95 @@ def extract_reads(index: OccIndex, ids, n_strings: int, l_max: int | None = None
         raise ValueError(f"l_max={l_max} too small: some reads did not close")
     out = np.asarray(out)
     return [row[row != 0] for row in out]
+
+
+@functools.partial(jax.jit, static_argnames=("l_max",))
+def _locate_walk_impl(bwt, table, starts, pos, n_strings, l_max):
+    """LF-walk every BWT row in ``pos`` backward until it enters the
+    terminator block (rows < n_strings). Returns (read_id, offset): the
+    terminator row IS the read's lexicographic id, and a row whose suffix
+    starts at read offset j takes j+1 steps to reach it."""
+    from rust_msbwt_tpu.ops.packed_rank import rank_packed
+
+    steps = jnp.zeros(pos.shape, jnp.int32)
+
+    def step(t, carry):
+        pos, steps = carry
+        active = pos >= n_strings
+        sym = jnp.take(bwt, pos).astype(jnp.int32)
+        s = jnp.where(active, sym, 0)
+        new_pos = starts[s] + rank_packed(table, s, pos)
+        pos = jnp.where(active, new_pos, pos)
+        steps = steps + active.astype(jnp.int32)
+        return pos, steps
+
+    pos, steps = jax.lax.fori_loop(0, l_max + 1, step, (pos, steps))
+    return pos, steps - 1
+
+
+def locate_kmers(index: OccIndex, kmers, n_strings: int, lengths=None,
+                 l_max: int | None = None):
+    """Map every k-mer occurrence to ``(query, read_id, offset)`` — the
+    original msbwt's ``findReadsMatchingSeq``, batched: one backward
+    search gives each query's BWT row range, then ALL hit rows LF-walk to
+    their terminators together (one packed-rank gather per step).
+
+    Returns three equal-length int arrays ``(query_idx, read_id, offset)``
+    — read ids are lexicographic (``extract_reads``'s id space), offsets
+    are 0-based match starts within the read. The reference crate stops at
+    ``count_kmer``; hit localization is new surface (the walk machinery
+    mirrors its test-only recovery loops, ref: src/dynamic_bwt.rs:393-430).
+
+    >>> import numpy as np
+    >>> from rust_msbwt_tpu.models.dynamic import DynamicBWT
+    >>> from rust_msbwt_tpu.ops.alphabet import convert_stoi
+    >>> from rust_msbwt_tpu.ops.rank import build_occ_index
+    >>> bwt = DynamicBWT()
+    >>> bwt.insert_strings(["ACGTA", "GGACG"], sorted=True)
+    >>> idx = build_occ_index(np.asarray(bwt.to_vec()))
+    >>> q, r, o = locate_kmers(idx, [convert_stoi("ACG")], 2)
+    >>> sorted(zip(r.tolist(), o.tolist()))   # in read 0 @0, read 1 @2
+    [(0, 0), (1, 2)]
+    """
+    from rust_msbwt_tpu.ops.bcr import read_lengths_from_bwt
+    from rust_msbwt_tpu.ops.packed_rank import (
+        _kmer_ranges_packed_impl,
+        pack_index,
+    )
+
+    kmers = np.asarray(kmers, dtype=np.uint8)
+    if kmers.ndim == 1:
+        kmers = kmers[None, :]
+    B, K = kmers.shape
+    if lengths is None:
+        lengths = np.full(B, K, dtype=np.int32)
+    lengths = np.asarray(lengths, dtype=np.int32)
+    pidx = pack_index(index)
+    lo, hi = _kmer_ranges_packed_impl(
+        pidx.table, pidx.starts, pidx.n,
+        jnp.asarray(kmers), jnp.asarray(lengths),
+    )
+    lo = np.asarray(lo)
+    counts = np.asarray(hi) - lo
+    empty = np.zeros(0, np.int32)
+    if counts.sum() == 0:
+        return empty, empty, empty
+    # flatten every range [lo_i, hi_i) into one walk batch
+    qidx = np.repeat(np.arange(B, dtype=np.int32), counts)
+    within = np.arange(qidx.size, dtype=np.int32) - np.repeat(
+        np.concatenate([[0], np.cumsum(counts[:-1])]).astype(np.int32), counts
+    )
+    pos = np.repeat(lo, counts).astype(np.int32) + within
+    if l_max is None:
+        l_max = int(read_lengths_from_bwt(index, n_strings).max())
+    # pad the walk batch to a power of two: hit counts vary per call, and
+    # each distinct batch shape would otherwise recompile the walk (pad
+    # rows start at row 0 < n_strings, i.e. instantly inactive)
+    H = pos.size
+    pos_p = np.zeros(max(1 << (H - 1).bit_length(), 16), np.int32)
+    pos_p[:H] = pos
+    rid, off = _locate_walk_impl(
+        index.bwt, pidx.table, pidx.starts, jnp.asarray(pos_p),
+        jnp.int32(n_strings), max(int(l_max), 1),
+    )
+    return qidx, np.asarray(rid)[:H], np.asarray(off)[:H]

@@ -119,8 +119,11 @@ def rank_packed(table: jax.Array, sym: jax.Array, pos: jax.Array) -> jax.Array:
 
 
 @functools.partial(jax.jit, static_argnames=("n", "cache_k"))
-def _count_kmers_packed_impl(table, starts, n, kmers, lengths, cache=None,
+def _kmer_ranges_packed_impl(table, starts, n, kmers, lengths, cache=None,
                              cache_k=0):
+    """Backward-search every k-mer to its BWT row range ``[lo, hi)``
+    (``count == hi - lo``; the range rows are the suffix positions a
+    locate walk starts from)."""
     B, K = kmers.shape
     lo = jnp.zeros(B, jnp.int32)
     hi = jnp.full(B, n, jnp.int32)
@@ -148,6 +151,14 @@ def _count_kmers_packed_impl(table, starts, n, kmers, lengths, cache=None,
         return lo, hi
 
     lo, hi = jax.lax.fori_loop(t_start, K, step, (lo, hi))
+    return lo, hi
+
+
+@functools.partial(jax.jit, static_argnames=("n", "cache_k"))
+def _count_kmers_packed_impl(table, starts, n, kmers, lengths, cache=None,
+                             cache_k=0):
+    lo, hi = _kmer_ranges_packed_impl(table, starts, n, kmers, lengths,
+                                      cache=cache, cache_k=cache_k)
     return hi - lo
 
 

@@ -86,6 +86,19 @@ def test_query_cli(tmp_path, capsys):
     assert lines == ["ACGT\t1", "TGCA\t1", "$\t2", "GGG\t0"]
 
 
+def test_query_cli_locate(tmp_path, capsys):
+    """--locate prints one (kmer, read_id, offset) line per occurrence;
+    two_string.fa sorted = [ACGT, TGCA], so 'GC' hits only read 1 @1."""
+    from rust_msbwt_tpu.cli.query import main as query_main
+
+    out = tmp_path / "q.npy"
+    assert build_main(["-o", str(out), GOLDEN_FA]) == 0
+    assert query_main([str(out), "GC", "CG", "AA", "--locate"]) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert lines == ["GC\t1", "CG\t1", "AA\t0",
+                     "GC\t1\t1", "CG\t0\t1"]
+
+
 def test_query_cli_from_file(tmp_path, capsys):
     from rust_msbwt_tpu.cli.query import main as query_main
 

@@ -12,6 +12,7 @@ import rust_msbwt_tpu.models.dynamic as dynamic
 import rust_msbwt_tpu.models.rle_bwt as rle_bwt
 import rust_msbwt_tpu.ops.alphabet as alphabet
 import rust_msbwt_tpu.ops.bcr as bcr
+import rust_msbwt_tpu.ops.extract as extract
 import rust_msbwt_tpu.ops.merge as merge
 import rust_msbwt_tpu.ops.packed_rank as packed_rank
 import rust_msbwt_tpu.ops.pair_rank as pair_rank
@@ -31,7 +32,7 @@ import rust_msbwt_tpu.utils.streaming as streaming
     "mod",
     [alphabet, rle, core, dynamic, rle_bwt, npy, oracle, merge, packed_rank,
      pair_rank, sharded_index, checkpoint, streaming, bcr, rank, partitioned,
-     sharded_merge, app_correct, fastx],
+     sharded_merge, app_correct, fastx, extract],
     ids=lambda m: m.__name__,
 )
 def test_doctests(mod):

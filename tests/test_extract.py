@@ -41,3 +41,50 @@ def test_extract_bad_ids():
     index = build_occ_index(jnp.asarray(dec))
     with pytest.raises(ValueError):
         extract_reads(index, [1], n_strings=1)
+
+
+def test_locate_kmers_matches_bruteforce():
+    """Every (read, offset) occurrence of each query must be reported
+    exactly once, with read ids in the lexicographic (sorted-build) id
+    space — cross-checked against a host brute-force scan."""
+    from rust_msbwt_tpu.ops.extract import locate_kmers
+
+    rng = np.random.default_rng(31)
+    reads_l = [rng.integers(1, 6, rng.integers(4, 25)).astype(np.uint8)
+               for _ in range(30)]
+    reads, lens = encode_reads(reads_l)
+    dec = build_msbwt(reads, lens)
+    index = build_occ_index(jnp.asarray(dec))
+    sreads, slens = sort_reads(reads, lens)
+
+    K = 3
+    kmers = np.stack([rng.integers(1, 6, K).astype(np.uint8)
+                      for _ in range(8)])
+    q, r, o = locate_kmers(index, kmers, n_strings=30)
+    got = sorted(zip(q.tolist(), r.tolist(), o.tolist()))
+
+    want = []
+    for qi in range(8):
+        pat = kmers[qi]
+        for rid in range(30):
+            row = sreads[rid, : slens[rid]]
+            for off in range(len(row) - K + 1):
+                if np.array_equal(row[off : off + K], pat):
+                    want.append((qi, rid, off))
+    assert got == sorted(want)
+
+
+def test_locate_kmers_no_hits_and_duplicates():
+    from rust_msbwt_tpu.ops.extract import locate_kmers
+
+    reads_l = [np.array([1, 2, 3, 1, 2], np.uint8)] * 3
+    reads, lens = encode_reads(reads_l)
+    dec = build_msbwt(reads, lens)
+    index = build_occ_index(jnp.asarray(dec))
+    # absent k-mer -> empty result triple
+    q, r, o = locate_kmers(index, np.array([[5, 5]], np.uint8), n_strings=3)
+    assert q.size == r.size == o.size == 0
+    # "AC" occurs twice in each of the 3 identical reads
+    q, r, o = locate_kmers(index, np.array([[1, 2]], np.uint8), n_strings=3)
+    assert sorted(zip(r.tolist(), o.tolist())) == [
+        (0, 0), (0, 3), (1, 0), (1, 3), (2, 0), (2, 3)]
