@@ -65,15 +65,17 @@ def timeit(fn, *args, reps: int = 5, warmup: int = 1) -> float:
     return (time.perf_counter() - t0) / reps
 
 
-def session_health() -> dict:
+def session_health(mxu_n: int = 8192, hbm_mwords: int = 128) -> dict:
     """Three micro-probes that classify a slow session before any big run
     (505M builds varied 41-94 s across sessions with the same binary —
     round-3 diagnosis): per-dispatch round-trip latency through the
-    tunnel, MXU rate (bf16 8k matmul chain), and HBM rate (elementwise
-    pass over 512 MB). A slow session with NORMAL device rates is
-    transport; abnormal rates here are the device (thermal/contention).
-    Healthy v5e reference points: dispatch 2.5-36 ms (session-dependent),
-    MXU ~106-117 Tflop/s, HBM ~180-216 GB/s via tunnel."""
+    tunnel, MXU rate (bf16 ``mxu_n``-square matmul chain), and HBM rate
+    (elementwise pass over ``hbm_mwords`` Mi int32 words, 512 MB at the
+    default). A slow session with NORMAL device rates is transport;
+    abnormal rates here are the device (thermal/contention). Healthy v5e
+    reference points at the defaults: dispatch 2.5-36 ms
+    (session-dependent), MXU ~106-117 Tflop/s, HBM ~180-216 GB/s via
+    tunnel. The size knobs exist so CPU tests can smoke the probe."""
     import jax.numpy as jnp
 
     x = jnp.zeros(8, jnp.int32)
@@ -84,7 +86,7 @@ def session_health() -> dict:
         int(np.asarray(f(x)[0]))
     dispatch_ms = (time.perf_counter() - t0) / 20 * 1e3
 
-    a = jax.jit(lambda: jnp.ones((8192, 8192), jnp.bfloat16))()
+    a = jax.jit(lambda: jnp.ones((mxu_n, mxu_n), jnp.bfloat16))()
 
     @jax.jit
     def mm(a):
@@ -95,9 +97,9 @@ def session_health() -> dict:
     int(np.asarray(mm(a)[0, 0] * 0))
     t0 = time.perf_counter()
     int(np.asarray(mm(a)[0, 0] * 0))
-    mxu_tflops = 8 * 2 * 8192**3 / (time.perf_counter() - t0) / 1e12
+    mxu_tflops = 8 * 2 * mxu_n**3 / (time.perf_counter() - t0) / 1e12
 
-    big = jax.jit(lambda: jnp.ones(128 * 1024 * 1024, jnp.int32))()
+    big = jax.jit(lambda: jnp.ones(hbm_mwords * 1024 * 1024, jnp.int32))()
 
     @jax.jit
     def ew(b):

@@ -190,3 +190,24 @@ def test_rooflines_and_timeit():
     assert b.bytes_touched == 101 * 1_000_000 * 33
     dt = timeit(lambda: np.arange(10), reps=2, warmup=1)
     assert dt >= 0
+
+
+def test_session_health_smoke():
+    """The A/B runbook's health gate (benchmarks/probes/run_all.sh aborts
+    a hardware session if this crashes) — smoke it at tiny probe sizes."""
+    from rust_msbwt_tpu.utils.profiling import session_health
+
+    h = session_health(mxu_n=256, hbm_mwords=1)
+    assert set(h) == {"dispatch_roundtrip_ms", "mxu_tflops_bf16", "hbm_gbps"}
+    # tiny CPU probes can round to 0.0 Tflop/s — only require sane values
+    assert all(v >= 0 for v in h.values())
+    assert h["dispatch_roundtrip_ms"] > 0
+
+
+def test_enable_persistent_cache_idempotent(tmp_path, monkeypatch):
+    from rust_msbwt_tpu.utils.jaxcache import enable_persistent_cache
+
+    monkeypatch.setenv("MSBWT_TPU_CACHE", str(tmp_path / "jc"))
+    enable_persistent_cache()
+    enable_persistent_cache()  # second call must be harmless
+    assert (tmp_path / "jc").is_dir()
