@@ -369,6 +369,17 @@ class DynamicBWT(BWTBase):
             cache=cache, cache_k=self._cache_k if cache is not None else 0,
         )
 
+    def locate_kmers(self, kmers, lengths=None):
+        """Map every k-mer occurrence to ``(query_idx, read_id, offset)``
+        (the original msbwt's ``findReadsMatchingSeq``; read ids are
+        lexicographic — the id space of ``ops.extract.extract_reads``)."""
+        from rust_msbwt_tpu.ops.extract import locate_kmers
+
+        return locate_kmers(
+            self.device_index, kmers, self.get_symbol_count(0),
+            lengths=lengths,
+        )
+
 
 def create_from_fastx(filenames, sorted: bool = True) -> DynamicBWT:
     """Build a BWT from FASTX files (ref: src/dynamic_bwt.rs:453-473).

@@ -304,3 +304,14 @@ class RleBWT(BWTBase):
             cache=getattr(self, "_kmer_cache", None),
             cache_k=getattr(self, "_cache_k", 0),
         )
+
+    def locate_kmers(self, kmers, lengths=None):
+        """Map every k-mer occurrence to ``(query_idx, read_id, offset)``
+        (the original msbwt's ``findReadsMatchingSeq``; read ids are
+        lexicographic — the id space of ``ops.extract.extract_reads``)."""
+        from rust_msbwt_tpu.ops.extract import locate_kmers
+
+        return locate_kmers(
+            self.device_index, kmers, self.get_symbol_count(0),
+            lengths=lengths,
+        )

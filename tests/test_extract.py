@@ -88,3 +88,20 @@ def test_locate_kmers_no_hits_and_duplicates():
     q, r, o = locate_kmers(index, np.array([[1, 2]], np.uint8), n_strings=3)
     assert sorted(zip(r.tolist(), o.tolist())) == [
         (0, 0), (0, 3), (1, 0), (1, 3), (2, 0), (2, 3)]
+
+
+def test_locate_kmers_model_methods():
+    """RleBWT.locate_kmers and DynamicBWT.locate_kmers agree with the op
+    (same index, same id space) through the public model surface."""
+    from rust_msbwt_tpu.models.dynamic import DynamicBWT
+    from rust_msbwt_tpu.ops.extract import locate_kmers
+
+    bwt = DynamicBWT()
+    bwt.insert_strings(["ACGTA", "GGACG", "ACGAC"], sorted=True)
+    kmers = np.array([[1, 2, 3]], np.uint8)  # "ACG"
+    q1, r1, o1 = bwt.locate_kmers(kmers)
+    q2, r2, o2 = locate_kmers(bwt.device_index, kmers, 3)
+    assert (sorted(zip(r1.tolist(), o1.tolist()))
+            == sorted(zip(r2.tolist(), o2.tolist())))
+    # ACG occurs: ACGAC@0, ACGTA@0, GGACG@2 (ids 0,1,2 lexicographic)
+    assert sorted(zip(r1.tolist(), o1.tolist())) == [(0, 0), (1, 0), (2, 2)]
