@@ -131,6 +131,51 @@ class BWTBase:
         )
         return counts[:B] + counts[B:]
 
+    def count_kmers_approx(self, kmers, lengths=None,
+                           max_mismatch: int = 1) -> np.ndarray:
+        """Occurrences within Hamming distance ``max_mismatch`` (0 or 1).
+
+        Distance-1 occurrences are EXACTLY the disjoint union of exact
+        occurrences of every single-substitution variant (each text window
+        matches exactly one variant string), so this is one batched
+        ``count_kmers`` call over ``B * (1 + 4*len)`` rows — the
+        SNP-tolerant counting fmlrc-class tools compute implicitly.
+        Substitutions range over the non-terminator alphabet (A C G N T).
+
+        >>> import numpy as np
+        >>> from rust_msbwt_tpu.models.dynamic import DynamicBWT
+        >>> bwt = DynamicBWT()
+        >>> bwt.insert_strings(["ACGT", "AGGT"], sorted=True)
+        >>> int(bwt.count_kmers_approx(np.array([[1, 2, 3]]))[0])  # "ACG"+-1
+        2
+        """
+        kmers = np.asarray(kmers, dtype=np.uint8)
+        if kmers.ndim == 1:
+            kmers = kmers[None, :]
+        B, K = kmers.shape
+        if lengths is None:
+            lengths = np.full(B, K, dtype=np.int32)
+        lengths = np.asarray(lengths, dtype=np.int32)
+        exact = np.asarray(self.count_kmers(kmers, lengths), dtype=np.int64)
+        if max_mismatch == 0:
+            return exact
+        if max_mismatch != 1:
+            raise NotImplementedError("max_mismatch must be 0 or 1")
+        active = np.arange(K)[None, :] >= (K - lengths[:, None])   # [B, K]
+        cand = np.arange(1, VC_LEN, dtype=np.uint8)[None, None, :]
+        ok = active[:, :, None] & (cand != kmers[:, :, None])      # [B, K, 5]
+        b_idx, p_idx, c_idx = np.nonzero(ok)
+        if b_idx.size == 0:
+            return exact
+        variants = kmers[b_idx].copy()
+        variants[np.arange(b_idx.size), p_idx] = (c_idx + 1).astype(np.uint8)
+        vcounts = np.asarray(
+            self.count_kmers(variants, lengths[b_idx]), dtype=np.int64
+        )
+        out = exact.copy()
+        np.add.at(out, b_idx, vcounts)
+        return out
+
     def count_kmers(self, kmers, lengths=None) -> np.ndarray:
         """Batched ``count_kmer``: ``[B, K]`` right-aligned int k-mers -> ``[B]``.
 

@@ -226,3 +226,30 @@ def test_materialize_fused_pallas_path(monkeypatch):
     data.append("AAGTCATAT")
     assert b.to_vec().tolist() == convert_stoi(naive_bwt(data)).tolist()
     assert b.string_count == 4
+
+
+def test_count_kmers_approx_bruteforce(rng):
+    """Hamming<=1 counts equal a brute-force window scan over the reads."""
+    from rust_msbwt_tpu.models.dynamic import DynamicBWT
+    from rust_msbwt_tpu.ops.alphabet import convert_itos
+
+    reads_l = [rng.integers(1, 6, int(rng.integers(5, 20))).astype(np.uint8)
+               for _ in range(25)]
+    bwt = DynamicBWT()
+    bwt.insert_strings([convert_itos(r) for r in reads_l], sorted=True)
+    K = 4
+    kmers = np.stack([rng.integers(1, 6, K).astype(np.uint8)
+                      for _ in range(6)])
+    got = bwt.count_kmers_approx(kmers, max_mismatch=1)
+    for qi in range(6):
+        want = 0
+        for r in reads_l:
+            for off in range(len(r) - K + 1):
+                if (r[off : off + K] != kmers[qi]).sum() <= 1:
+                    want += 1
+        assert got[qi] == want, qi
+    # distance 0 degenerates to exact counts
+    assert np.array_equal(
+        bwt.count_kmers_approx(kmers, max_mismatch=0),
+        np.asarray(bwt.count_kmers(kmers), dtype=np.int64),
+    )
