@@ -70,6 +70,41 @@ def _start_watchdog() -> None:
     t.start()
 
 
+def _preflight_tunnel(timeout_s: float = 240.0) -> bool:
+    """Probe the device backend in a SUBPROCESS with a short timeout. A
+    downed axon tunnel blocks jax.devices() indefinitely in-process (no
+    way to interrupt it); failing fast here turns a dead-tunnel bench into
+    a ~4-minute clear JSON error instead of a full watchdog deadline."""
+    import os
+    import subprocess
+
+    if os.environ.get("MSBWT_BENCH_NO_PREFLIGHT"):
+        return True
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; d = jax.devices(); print('DEV_OK', d)"],
+            timeout=timeout_s, capture_output=True,
+        )
+        if b"DEV_OK" in r.stdout:
+            return True
+        log(f"[preflight] device probe failed rc={r.returncode}: "
+            f"{r.stderr.decode(errors='replace')[-300:]}")
+    except subprocess.TimeoutExpired:
+        log(f"[preflight] device probe hung > {timeout_s:.0f}s — "
+            "tunnel down")
+    emit({
+        "metric": "kmer count queries/s/chip (1M x 21-mers, "
+                  "10k x 100bp reads)",
+        "value": 0,
+        "unit": "queries/s",
+        "vs_baseline": 0,
+        "extra": {"error": "device backend unreachable (tunnel down) — "
+                           "preflight probe failed; no measurements taken"},
+    })
+    return False
+
+
 def make_reads(n_reads=10_000, read_len=100, seed=0xBEEF):
     rng = np.random.default_rng(seed)
     # genome-derived reads so k-mer queries hit real repeat structure
@@ -419,6 +454,8 @@ def main():
 
 if __name__ == "__main__":
     _start_watchdog()
+    if not _preflight_tunnel():
+        sys.exit(2)
     if "--no-retry" in sys.argv:
         main()
         sys.exit(0)
