@@ -51,6 +51,11 @@ def main(argv=None) -> int:
         "occurrence (read ids are lexicographic; the id space of "
         "msbwt2-extract)",
     )
+    parser.add_argument(
+        "--max-mismatch", type=int, default=0, metavar="D", choices=(0, 1),
+        help="count occurrences within Hamming distance D (0 or 1; "
+        "D=1 resolves all single-substitution variants in one batch)",
+    )
     args = parser.parse_args(argv)
 
     from rust_msbwt_tpu.utils.jaxcache import enable_persistent_cache
@@ -115,7 +120,11 @@ def main(argv=None) -> int:
         enc = convert_stoi(txt)
         kmers[i, K - len(enc):] = enc
         lengths[i] = len(enc)
-    counts = bwt.count_kmers(kmers, lengths)
+    if args.max_mismatch:
+        counts = bwt.count_kmers_approx(kmers, lengths,
+                                        max_mismatch=args.max_mismatch)
+    else:
+        counts = bwt.count_kmers(kmers, lengths)
     if args.index_pack and (not pack_loaded or pack_stale):
         try:
             bwt.save_query_indexes(args.index_pack)

@@ -99,6 +99,18 @@ def test_query_cli_locate(tmp_path, capsys):
                      "GC\t1\t1", "CG\t0\t1"]
 
 
+def test_query_cli_max_mismatch(tmp_path, capsys):
+    """--max-mismatch 1 counts single-substitution variants too: on
+    two_string.fa (ACGT, TGCA), 'AGGT' has 0 exact hits but is 1 sub away
+    from ACGT."""
+    from rust_msbwt_tpu.cli.query import main as query_main
+
+    out = tmp_path / "q.npy"
+    assert build_main(["-o", str(out), GOLDEN_FA]) == 0
+    assert query_main([str(out), "AGGT", "--max-mismatch", "1"]) == 0
+    assert capsys.readouterr().out == "AGGT\t1\n"
+
+
 def test_query_cli_from_file(tmp_path, capsys):
     from rust_msbwt_tpu.cli.query import main as query_main
 
