@@ -115,6 +115,9 @@ def locate_kmers(index: OccIndex, kmers, n_strings: int, lengths=None,
     are 0-based match starts within the read. The reference crate stops at
     ``count_kmer``; hit localization is new surface (the walk machinery
     mirrors its test-only recovery loops, ref: src/dynamic_bwt.rs:393-430).
+    Positions are int32 (single-chip indexes, < 2^31 symbols); past that,
+    queries go through the sharded wide-position index, which does not
+    expose locate.
 
     >>> import numpy as np
     >>> from rust_msbwt_tpu.models.dynamic import DynamicBWT
