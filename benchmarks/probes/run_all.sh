@@ -81,3 +81,4 @@ step ins8_build "$AB_TMO" env MSBWT_TPU_INS8=1 python benchmarks/probes/probe_me
 step i16 1200 python benchmarks/probes/probe_i16.py
 
 echo "=== all done; logs in $LOGS ==="
+python -m benchmarks.probes.summarize "$LOGS" || true
