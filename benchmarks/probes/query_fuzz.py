@@ -12,6 +12,8 @@ Usage: python benchmarks/probes/query_fuzz.py [--cpu] [trials]
 import os
 import sys
 
+sys.path.insert(0, "/root/repo")
+
 import numpy as np
 
 import jax
