@@ -49,6 +49,12 @@ for cs, ins8, depth, extra in itertools.product(
         env["MSBWT_TPU_PHYS_DTYPE"] = "int16"
         env["MSBWT_TPU_TABLE64"] = "1"
     combos.append(env)
+# radix-2 stage pairing composed with the stream/chunk levers
+for cs, ins8 in itertools.product(("64", "128"), ("0", "1")):
+    env = {"MSBWT_TPU_MERGE_CS": cs, "MSBWT_TPU_RADIX": "2"}
+    if ins8 == "1":
+        env["MSBWT_TPU_INS8"] = "1"
+    combos.append(env)
 
 fails = 0
 for i, env in enumerate(combos):
