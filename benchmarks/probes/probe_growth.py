@@ -4,6 +4,7 @@ Runs in ONE process; the growth env is read per build call (schedule is
 host-side). Each arm: 1 compile call + timed reps.
 """
 import os, sys, time
+sys.path.insert(0, "/root/repo")  # runnable as a script
 import numpy as np
 
 sys.stdout.reconfigure(line_buffering=True)

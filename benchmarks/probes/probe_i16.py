@@ -9,6 +9,7 @@ Tests, in order (each can hard-fault the runtime — run LAST in a session):
  3. i32 tile -> i16 convert + where() mixing i16 data with i32-derived mask
 """
 import sys, time
+sys.path.insert(0, "/root/repo")  # runnable as a script
 import numpy as np
 
 sys.stdout.reconfigure(line_buffering=True)

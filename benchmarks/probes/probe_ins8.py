@@ -12,6 +12,7 @@ Tests, gridded over 4 chunks:
  3. f32 CSxCS row-prefix matmul (the wtab plane-3 pattern)
 """
 import sys
+sys.path.insert(0, "/root/repo")  # runnable as a script
 import numpy as np
 
 sys.stdout.reconfigure(line_buffering=True)

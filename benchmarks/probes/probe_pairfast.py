@@ -1,5 +1,6 @@
 """Probe: pair-stream flat n-gather vs row-gather variant at 505M on TPU."""
 import os, sys, time
+sys.path.insert(0, "/root/repo")  # runnable as a script
 import numpy as np
 import jax
 import jax.numpy as jnp

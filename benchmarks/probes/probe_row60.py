@@ -5,6 +5,7 @@ device_memory_stats deltas when available) to confirm whether XLA stores
 the [NB, 60] gather source dense or pads it.
 """
 import os, sys, time
+sys.path.insert(0, "/root/repo")  # runnable as a script
 import numpy as np
 import jax
 import jax.numpy as jnp
