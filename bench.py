@@ -16,6 +16,7 @@ Prints exactly ONE JSON line on stdout.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -255,7 +256,40 @@ def run_large(reps: int = 3) -> dict:
         except Exception as e:
             log(f"[large] 6^{ck} cache failed: {type(e).__name__}: {e}")
             deep[f"cache{ck}_error"] = f"{type(e).__name__}"
+
+    # at-scale native baseline: the reference's sequential query loop (C++,
+    # csrc/msbwt_baseline.cpp) against the SAME 505M index, so the headline's
+    # vs_baseline is apples-to-apples. Guarded — needs a ~0.5 GB host copy.
+    base = {}
+    try:
+        from rust_msbwt_tpu.ops.rle import bytes_from_runs, runs_from_symbols
+        from rust_msbwt_tpu.utils.native import baseline_count_kmers_native
+
+        t0 = time.perf_counter()
+        rle = bytes_from_runs(*runs_from_symbols(np.asarray(idx.bwt)))
+        rle_s = time.perf_counter() - t0
+        nq = 20_000
+        sample = np.asarray(kmers[:nq])
+        t0 = time.perf_counter()
+        bcounts = baseline_count_kmers_native(rle, sample, threads=1)
+        base_s = time.perf_counter() - t0
+        if bcounts is not None:
+            assert bcounts.tolist() == counts[:nq].tolist(), \
+                "505M device/baseline count mismatch"
+            base_qps = nq / base_s
+            base = {
+                "baseline_query_qps": round(base_qps),
+                "vs_baseline_native": round((B / best_q) / base_qps, 2),
+            }
+            log(f"[large] native baseline: {base_qps:,.0f} q/s ({nq} queries; "
+                f"exact match; host RLE {rle_s:.1f}s) -> device is "
+                f"{base['vs_baseline_native']}x")
+        del rle
+    except Exception as e:
+        log(f"[large] native baseline failed: {type(e).__name__}: {e}")
+        base = {"baseline_error": f"{type(e).__name__}"}
     return {
+        **base,
         "bwt_symbols": int(idx.n),
         **health,
         "build_index_seconds_median": round(med, 2),
@@ -278,6 +312,15 @@ def run_large(reps: int = 3) -> dict:
 def main():
     import jax
 
+    # the axon sitecustomize force-registers the TPU platform; honor an
+    # explicit JAX_PLATFORMS (the CPU smoke test sets =cpu) the way the test
+    # conftest does
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        try:
+            jax.config.update("jax_platforms", plat)
+        except Exception:
+            pass
     try:  # persistent compile cache: the BCR loop compile dominates cold runs
         jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
     except Exception:
@@ -288,10 +331,15 @@ def main():
     from rust_msbwt_tpu.ops.packed_rank import _count_kmers_packed_impl, pack_index
     from rust_msbwt_tpu.ops.rank import build_occ_index
 
+    # --tiny: a minutes-scale CPU smoke that exercises EVERY line of main()
+    # through emit() — exists because round 3's bench measured everything and
+    # then crashed at the emit step (NameError) with no test covering it.
+    tiny = "--tiny" in sys.argv
+
     dev = jax.devices()[0]
     log(f"device: {dev}")
 
-    reads, lengths = make_reads()
+    reads, lengths = make_reads(n_reads=200 if tiny else 10_000)
     n_bases = int(lengths.sum())
 
     # --- build (secondary metric) ---
@@ -313,21 +361,24 @@ def main():
     decoded = np.asarray(decoded)  # host copy for the RLE/golden host paths
 
     # secondary build config: 100k reads (10.1M symbols) — a scaling point
-    reads2, lengths2 = make_reads(n_reads=100_000, seed=0xF00D)
-    d2 = build_msbwt(reads2, lengths2, device_out=True)
-    int(np.asarray(d2[:1])[0])
-    t0 = time.perf_counter()
-    d2 = build_msbwt(reads2, lengths2, device_out=True)
-    int(np.asarray(d2[:1])[0])
-    build100k_s = time.perf_counter() - t0
-    build100k_mbases_s = float(lengths2.sum()) / build100k_s / 1e6
-    log(f"build 100k reads: {build100k_s:.2f}s -> {build100k_mbases_s:.1f} Mbases/s")
-    del d2
+    build100k_mbases_s = None
+    if not tiny:
+        reads2, lengths2 = make_reads(n_reads=100_000, seed=0xF00D)
+        d2 = build_msbwt(reads2, lengths2, device_out=True)
+        int(np.asarray(d2[:1])[0])
+        t0 = time.perf_counter()
+        d2 = build_msbwt(reads2, lengths2, device_out=True)
+        int(np.asarray(d2[:1])[0])
+        build100k_s = time.perf_counter() - t0
+        build100k_mbases_s = float(lengths2.sum()) / build100k_s / 1e6
+        log(f"build 100k reads: {build100k_s:.2f}s -> "
+            f"{build100k_mbases_s:.1f} Mbases/s")
+        del d2
     pidx = pack_index(index)
 
     from rust_msbwt_tpu.ops.rank import build_kmer_cache
 
-    CACHE_K = 8
+    CACHE_K = 4 if tiny else 8
     t0 = time.perf_counter()
     cache = build_kmer_cache(index.bwt, index.occ, index.starts, index.n, CACHE_K)
     cache.lo.block_until_ready()
@@ -335,7 +386,7 @@ def main():
 
     # --- query (north star) ---
     K = 21
-    kmers = make_queries(reads, k=K)
+    kmers = make_queries(reads, n_queries=5_000 if tiny else 1_000_000, k=K)
     B = kmers.shape[0]
     qlens = np.full(B, K, dtype=np.int32)
     kmers_d = jnp.asarray(kmers)
@@ -370,7 +421,8 @@ def main():
     )
 
     rle = bytes_from_runs(*runs_from_symbols(decoded))
-    n_cpu = 200_000
+    n_cpu = 2_000 if tiny else 200_000
+    n_cpu = min(n_cpu, B)
     t0 = time.perf_counter()
     cpu_counts = baseline_count_kmers_native(rle, kmers[:n_cpu], threads=1)
     cpu_s = time.perf_counter() - t0
@@ -411,20 +463,34 @@ def main():
     # --- at-scale certification (E. coli 505M config) — the production
     # numbers; guarded so a large-scale hiccup cannot sink the whole bench
     large = {}
-    if "--skip-large" not in sys.argv:
+    if "--skip-large" not in sys.argv and not tiny:
         try:
             large = run_large(reps=3)
         except Exception as e:
             log(f"large config failed: {type(e).__name__}: {e}")
             large = {"error": f"{type(e).__name__}: {e}"}
 
+    # Headline = the production figure (505M-symbol E. coli index, device-side
+    # q/s); the toy config stays in extra. Falls back to the toy number only
+    # when the large pass was skipped or failed (round-3 verdict item 4).
+    metric = ("kmer count queries/s/chip, device-side "
+              "(1M x 21-mers vs 505M-symbol E. coli index)")
+    value = large.get("query_qps_device")
+    vs_baseline = large.get("vs_baseline_native")
+    if value is None:
+        metric = (f"kmer count queries/s/chip ({B} x 21-mers, "
+                  f"{reads.shape[0]} x 100bp reads)")
+        value = round(qps)
+        vs_baseline = round(qps / cpu_qps, 2)
     emit({
-        "metric": "kmer count queries/s/chip (1M x 21-mers, 10k x 100bp reads)",
-        "value": round(qps),
+        "metric": metric,
+        "value": value,
         "unit": "queries/s",
-        "vs_baseline": round(qps / cpu_qps, 2),
+        "vs_baseline": vs_baseline,
         "extra": {
             "ecoli_505M": large,
+            "toy_query_qps": round(qps),
+            "toy_vs_baseline": round(qps / cpu_qps, 2),
             # active perf-lever env knobs, so a recorded number can always
             # be traced back to the exact kernel configuration it measured
             "knobs": {
@@ -433,7 +499,9 @@ def main():
             } or None,
             "build_mbases_per_s": round(build_mbases_s, 3),
             "build_seconds": round(build_s, 3),
-            "build_100k_reads_mbases_per_s": round(build100k_mbases_s, 3),
+            "build_100k_reads_mbases_per_s": (
+                round(build100k_mbases_s, 3) if build100k_mbases_s else None
+            ),
             "build_vs_baseline": (
                 round(build_mbases_s / base_build_mbases, 2)
                 if base_build_mbases else None
@@ -461,15 +529,20 @@ if __name__ == "__main__":
         sys.exit(0)
     try:
         main()
+    except (NameError, AttributeError, ImportError, SyntaxError,
+            TypeError, KeyError, AssertionError):
+        # deterministic Python/program errors: a retry would burn a second
+        # full hardware pass and crash identically (round 3 did exactly
+        # that) — fail loudly instead
+        raise
     except Exception as e:  # transient TPU-worker hiccups poison a process;
         # one clean retry in a subprocess usually succeeds
         import subprocess
-        import sys
 
         _DONE = True  # child prints the JSON line; disarm this watchdog
         log(f"bench attempt failed ({type(e).__name__}: {e}); retrying once")
         r = subprocess.run(
-            [sys.executable, __file__, "--no-retry"],
-            env={**__import__("os").environ},
+            [sys.executable, __file__, "--no-retry", *sys.argv[1:]],
+            env={**os.environ},
         )
         sys.exit(r.returncode)

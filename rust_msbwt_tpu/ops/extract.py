@@ -58,6 +58,16 @@ def extract_reads(index: OccIndex, ids, n_strings: int, l_max: int | None = None
     ``ids`` index the terminator rotations (0..n_strings-1) — for a sorted
     build that is the lexicographic read order. ``l_max`` bounds the walk
     (defaults to the longest read, recovered from the BWT itself).
+
+    >>> import numpy as np
+    >>> from rust_msbwt_tpu.models.dynamic import DynamicBWT
+    >>> from rust_msbwt_tpu.ops.alphabet import convert_itos
+    >>> from rust_msbwt_tpu.ops.rank import build_occ_index
+    >>> bwt = DynamicBWT()
+    >>> bwt.insert_strings(["GATTACA", "CAT"], sorted=True)
+    >>> idx = build_occ_index(np.asarray(bwt.to_vec()))
+    >>> [convert_itos(r) for r in extract_reads(idx, [0, 1], 2)]
+    ['CAT', 'GATTACA']
     """
     from rust_msbwt_tpu.ops.bcr import read_lengths_from_bwt
     from rust_msbwt_tpu.ops.packed_rank import pack_index

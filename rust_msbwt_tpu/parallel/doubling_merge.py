@@ -298,6 +298,15 @@ def sharded_doubling_merge(
     ``sharded_hm_merge``: the native ragged-all-to-all lowering is opt-in
     (``transport="ragged"`` or ``MSBWT_TPU_RAGGED=1``) on TPU backends;
     everywhere else the exchanges run through the exact dense simulation.
+
+    >>> import numpy as np
+    >>> from rust_msbwt_tpu.ops.alphabet import convert_itos, convert_stoi
+    >>> from rust_msbwt_tpu.utils.oracle import naive_bwt
+    >>> parts = [np.asarray(convert_stoi(naive_bwt(g)), np.uint8)
+    ...          for g in (["ACGT", "TTT"], ["GGAA"])]
+    >>> merged = sharded_doubling_merge(parts)
+    >>> convert_itos(merged) == naive_bwt(["ACGT", "TTT", "GGAA"])
+    True
     """
     if mesh is None:
         mesh = default_mesh()

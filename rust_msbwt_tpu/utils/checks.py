@@ -28,6 +28,18 @@ def debug_enabled() -> bool:
 
 
 def validate_kmers(kmers: np.ndarray, lengths: np.ndarray | None) -> None:
+    """Shape/dtype/alphabet guard for query batches (debug mode only).
+
+    >>> import numpy as np
+    >>> set_debug(True)
+    >>> validate_kmers(np.array([[1, 2, 3]], np.uint8), None)  # fine
+    >>> validate_kmers(np.array([[9]], np.uint8), None)
+    Traceback (most recent call last):
+        ...
+    ValueError: kmer symbols must be < 6
+    >>> set_debug(False)
+    >>> validate_kmers(np.array([[9]], np.uint8), None)  # release: no-op
+    """
     if not _DEBUG:
         return
     kmers = np.asarray(kmers)

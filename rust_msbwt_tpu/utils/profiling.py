@@ -134,7 +134,15 @@ def query_roofline(n_queries: int, k: int, measured_seconds: float,
                    hbm_bw: float = DEFAULT_HBM_BW, cache_k: int = 0) -> Roofline:
     """Bytes model for batched count_kmer on the packed index: per LF step,
     two ranks, each ONE 128-byte packed row gather (ops.packed_rank); a
-    prefix cache skips the first ``cache_k`` steps."""
+    prefix cache skips the first ``cache_k`` steps.
+
+    >>> r = query_roofline(1_000_000, k=21, measured_seconds=0.1,
+    ...                    hbm_bw=800e9)
+    >>> r.bytes_touched            # 21 steps x 2 ranks x 128 B per query
+    5376000000
+    >>> 0 < r.fraction_of_light < 1
+    True
+    """
     steps = max(k - cache_k, 0)
     bytes_touched = n_queries * (steps * 2 * 128 + (8 if cache_k else 0))
     return Roofline(bytes_touched, bytes_touched / hbm_bw, measured_seconds)

@@ -24,10 +24,25 @@ try:  # persistent compile cache across test runs (BCR compiles dominate)
 except Exception:
     pass
 
+import zlib  # noqa: E402
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
-@pytest.fixture(scope="session")
-def rng():
-    return np.random.default_rng(0x5EED)
+def _seed_for(name: str) -> int:
+    return zlib.crc32(name.encode()) ^ 0x5EED
+
+
+@pytest.fixture()
+def rng(request):
+    """Deterministic per-TEST RNG, seeded from the test's nodeid: draws never
+    depend on which other tests ran first on an xdist worker (a session-scoped
+    shared rng made test_apps flaky in round 3)."""
+    return np.random.default_rng(_seed_for(request.node.nodeid))
+
+
+@pytest.fixture(scope="module")
+def module_rng(request):
+    """Deterministic per-MODULE RNG for module-scoped fixtures."""
+    return np.random.default_rng(_seed_for(request.node.nodeid))

@@ -10,13 +10,23 @@ from rust_msbwt_tpu.ops.alphabet import convert_itos
 
 
 @pytest.fixture(scope="module")
-def corpus(rng):
-    """30x coverage of a 300bp genome + 5 reads with one injected error."""
+def corpus():
+    """~30x coverage of a 300bp genome + 5 reads with one injected error.
+
+    Reads TILE the genome at stride 2, and each tiled read is inserted TWICE:
+    every k=21 window of every in-index read then occurs >= 2 times by
+    construction (random starts gave genome-edge windows coverage 1 with
+    probability that depended on the shared session RNG's state — the round-3
+    flake), so the clean-read assertion is deterministic. Fixed local seed
+    keeps the corpus independent of fixture/xdist ordering."""
+    rng = np.random.default_rng(0xC0FFEE)
     genome = rng.integers(1, 6, 300).astype(np.uint8)
     genome[genome == 4] = 5  # drop N so substitutions are unambiguous
-    L, n_reads = 60, 150
-    starts = rng.integers(0, genome.size - L, n_reads)
-    reads = np.stack([genome[s : s + L] for s in starts])
+    L = 60
+    starts = np.arange(0, genome.size - L + 1, 2)
+    reads = np.repeat(
+        np.stack([genome[s : s + L] for s in starts]), 2, axis=0
+    )
     bwt = DynamicBWT()
     bwt.insert_strings([convert_itos(r) for r in reads], sorted=True)
 

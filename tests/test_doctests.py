@@ -18,13 +18,16 @@ import rust_msbwt_tpu.ops.packed_rank as packed_rank
 import rust_msbwt_tpu.ops.pair_rank as pair_rank
 import rust_msbwt_tpu.ops.rank as rank
 import rust_msbwt_tpu.ops.rle as rle
+import rust_msbwt_tpu.parallel.doubling_merge as doubling_merge
 import rust_msbwt_tpu.parallel.partitioned as partitioned
 import rust_msbwt_tpu.parallel.sharded_index as sharded_index
 import rust_msbwt_tpu.parallel.sharded_merge as sharded_merge
 import rust_msbwt_tpu.utils.checkpoint as checkpoint
+import rust_msbwt_tpu.utils.checks as checks
 import rust_msbwt_tpu.utils.fastx as fastx
 import rust_msbwt_tpu.utils.npy as npy
 import rust_msbwt_tpu.utils.oracle as oracle
+import rust_msbwt_tpu.utils.profiling as profiling
 import rust_msbwt_tpu.utils.streaming as streaming
 
 
@@ -32,7 +35,8 @@ import rust_msbwt_tpu.utils.streaming as streaming
     "mod",
     [alphabet, rle, core, dynamic, rle_bwt, npy, oracle, merge, packed_rank,
      pair_rank, sharded_index, checkpoint, streaming, bcr, rank, partitioned,
-     sharded_merge, app_correct, fastx, extract],
+     sharded_merge, app_correct, fastx, extract, doubling_merge, checks,
+     profiling],
     ids=lambda m: m.__name__,
 )
 def test_doctests(mod):

@@ -17,7 +17,8 @@ from rust_msbwt_tpu.utils.oracle import naive_bwt
 
 
 @pytest.fixture(scope="module")
-def setup(rng):
+def setup(module_rng):
+    rng = module_rng
     data = ["".join(rng.choice(list("ACGNT"), size=25)) for _ in range(60)]
     reads, lengths = encode_reads([convert_stoi(s) for s in data])
     decoded = build_msbwt(reads, lengths)

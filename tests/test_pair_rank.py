@@ -23,7 +23,8 @@ from rust_msbwt_tpu.utils.oracle import naive_bwt
 
 
 @pytest.fixture(scope="module")
-def setup(rng):
+def setup(module_rng):
+    rng = module_rng
     data = ["".join(rng.choice(list("ACGNT"), size=rng.integers(2, 30)))
             for _ in range(90)]
     dec = np.asarray(convert_stoi(naive_bwt(data)), np.uint8)
