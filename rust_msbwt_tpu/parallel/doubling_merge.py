@@ -332,12 +332,35 @@ def sharded_doubling_merge(
     native = backend in ("tpu", "axon") and (
         transport == "ragged" or os.environ.get("MSBWT_TPU_RAGGED", "") == "1"
     )
+    multiproc = jax.process_count() > 1
+
+    def to_mesh(host2d):
+        if not multiproc:
+            return jnp.asarray(host2d)
+        # multi-process: every process holds the same full host array
+        # (rehearsal-scale contract); hand each its local device rows
+        from jax.sharding import NamedSharding
+
+        local = np.asarray([
+            i for i, dv in enumerate(mesh.devices.flat)
+            if dv.process_index == jax.process_index()
+        ])
+        return jax.make_array_from_process_local_data(
+            NamedSharding(mesh, jax.sharding.PartitionSpec(AXIS, None)),
+            host2d[local], host2d.shape,
+        )
+
     with jax.enable_x64(wide):
         out_sym, out_src = _doubling_sharded_impl(
-            jnp.asarray(syms.reshape(d, blk)),
-            jnp.asarray(src.reshape(d, blk)),
+            to_mesh(syms.reshape(d, blk)),
+            to_mesh(src.reshape(d, blk)),
             n=n, blk=blk, d=d, ns=ns, mesh=mesh, native=native, wide=wide,
         )
+        if multiproc:
+            from jax.experimental import multihost_utils
+
+            out_sym = multihost_utils.process_allgather(out_sym, tiled=True)
+            out_src = multihost_utils.process_allgather(out_src, tiled=True)
         merged = np.asarray(out_sym).reshape(-1)[:n].astype(np.uint8)
         srcs = np.asarray(out_src).reshape(-1)[:n]
     return (merged, srcs) if return_sources else merged
