@@ -188,6 +188,45 @@ def main() -> int:
               flush=True)
         failures += 1
 
+    # 3e. forced-wide (int64 positions) composition on REAL hardware — the
+    # >2^31 lowering exercised on-chip at small scale, so the wide path is
+    # not pod-day-untested (round-3 verdict item 7): wide sharded build +
+    # H-M merge, wide doubling merge, wide sharded-index queries
+    try:
+        from rust_msbwt_tpu.parallel.doubling_merge import (
+            sharded_doubling_merge,
+        )
+        from rust_msbwt_tpu.parallel.mesh import default_mesh
+        from rust_msbwt_tpu.parallel.sharded_build import build_msbwt_sharded
+        from rust_msbwt_tpu.parallel.sharded_index import (
+            build_sharded_index,
+            count_kmers_sharded,
+        )
+
+        mesh = default_mesh()
+        reads_w, lens_w = encode_reads(
+            [rng.integers(1, 6, 25).astype(np.uint8) for _ in range(40)]
+        )
+        merged_w = build_msbwt_sharded(
+            reads_w, lens_w, mesh=mesh, merge="sharded", force_wide=True
+        )
+        want_w = np.asarray(build_msbwt(reads_w, lens_w, engine="pallas"))
+        ok = np.array_equal(merged_w, want_w)
+        dbl_w = sharded_doubling_merge(
+            [merged_w, want_w], mesh=mesh, force_wide=True
+        )
+        ok &= np.array_equal(dbl_w, kway_merge([merged_w, want_w]))
+        idx_w = build_sharded_index(merged_w, mesh, force_wide=True)
+        kq = rng.integers(1, 6, size=(64, 5)).astype(np.uint8)
+        got_w = count_kmers_sharded(idx_w, kq)
+        ok &= np.array_equal(
+            got_w, count_kmers_sharded(build_sharded_index(merged_w, mesh), kq)
+        )
+        check("forced-wide (int64) build+merge+doubling+query on hw", ok)
+    except Exception as e:
+        print(f"[FAIL] forced-wide on hw: {type(e).__name__}: {e}", flush=True)
+        failures += 1
+
     # 3d. fused index derivation parity on hardware (non-interpret kernel)
     from rust_msbwt_tpu.ops.bcr import build_msbwt_with_index
 

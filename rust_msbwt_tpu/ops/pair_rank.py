@@ -145,37 +145,27 @@ def _build_pair_stream_rowgather(bwt_padded, occ, starts, *, n):
     """Contiguous-run variant (see ``_build_pair_stream``): for the
     symbol-s positions of one bin, LF targets form ONE contiguous run, so
     two row gathers per (bin, symbol) + lane ``take_along_axis`` read all
-    their prev symbols. All sliced/gathered arrays are i32 (symbols packed
-    four per lane) — u8 dynamic-start DMA miscompiles on this platform."""
+    their prev symbols. All sliced/gathered arrays are i32 full-width
+    [*, 128] rows — u8 dynamic-start DMA miscompiles on this platform, and
+    narrower i32 rows buy nothing: any minor dim < 128 is lane-PADDED to
+    128 in HBM (a [NB, 32, 4] packing temp physically allocated
+    NB x 32 x 128 i32 = 64 GB at 505M — the round-3 probe OOM)."""
     npad = bwt_padded.shape[0]
     NB = npad // BIN
     bins = bwt_padded.reshape(NB, BIN)
     tri = jnp.asarray(_TRI_EXCL_NP, jnp.bfloat16)
 
-    lanes = jnp.arange(BIN, dtype=jnp.int32)
-    sh4 = jnp.asarray([0, 8, 16, 24], jnp.int32)
-    bins4 = jnp.sum(
-        bins.astype(jnp.int32).reshape(NB, 32, 4) << sh4[None, None, :],
-        axis=2, dtype=jnp.int32,
-    )  # [NB, 32]: symbol j of a bin in byte j%4 of lane j//4
+    bins_i32 = bins.astype(jnp.int32)  # [NB, 128] — 2 GB at 505M
 
     # chunk over bins so the [chunk, 128] i32 temporaries stay ~100 MB
     CB = min(_ROWGATHER_CHUNK_BINS, NB)
     nc = -(-NB // CB)
     pad_rows = nc * CB - NB
-    bins4_p = jnp.pad(
-        bins4, ((0, pad_rows), (0, 0)), constant_values=0x07070707
-    )
+    bins_p = jnp.pad(bins_i32, ((0, pad_rows), (0, 0)), constant_values=7)
     occ_p = jnp.pad(occ[:NB], ((0, pad_rows), (0, 0)))
 
-    word = lanes // 4
-    byte = (lanes % 4) * 8
-
-    def unpack(p4):  # [*, 32] packed i32 -> [*, 128] i32 symbols
-        return (jnp.take(p4, word, axis=1) >> byte[None, :]) & 0xFF
-
     def chunk(c, ps):
-        cb = unpack(jax.lax.dynamic_slice(bins4_p, (c * CB, 0), (CB, 32)))
+        cb = jax.lax.dynamic_slice(bins_p, (c * CB, 0), (CB, BIN))
         co = jax.lax.dynamic_slice(occ_p, (c * CB, 0), (CB, VC_LEN))
         prev = jnp.zeros((CB, BIN), jnp.int32)
         for s in range(VC_LEN):
@@ -184,8 +174,8 @@ def _build_pair_stream_rowgather(bwt_padded, occ, starts, *, n):
                         preferred_element_type=jnp.float32).astype(jnp.int32)
             g = starts[s] + co[:, s]                     # [CB] run starts
             r0 = jnp.clip(g // BIN, 0, NB - 1)
-            w0 = unpack(jnp.take(bins4, r0, axis=0))     # [CB, 128]
-            w1 = unpack(jnp.take(bins4, jnp.clip(r0 + 1, 0, NB - 1), axis=0))
+            w0 = jnp.take(bins_i32, r0, axis=0)          # [CB, 128]
+            w1 = jnp.take(bins_i32, jnp.clip(r0 + 1, 0, NB - 1), axis=0)
             off = (g % BIN)[:, None] + e                 # in [0, 256)
             lo = jnp.take_along_axis(w0, jnp.clip(off, 0, BIN - 1), axis=1)
             hi = jnp.take_along_axis(
