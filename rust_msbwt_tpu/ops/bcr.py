@@ -776,7 +776,14 @@ def _from_phys_jit(phys, *, n_cap):
 
 def _bucket_growth() -> float:
     """Capacity growth factor between stage buckets (env
-    ``MSBWT_TPU_BUCKET_GROWTH``, default 2.0, clamped to [1.05, 4]).
+    ``MSBWT_TPU_BUCKET_GROWTH``, default 1.3, clamped to [1.05, 4]).
+
+    Default 1.3 was measured on hardware (round-4 probe_growth, 1M x
+    100bp, same-process A/B): 9.13 s at r=2 -> 5.13 s at r=1.3 (1.78x) —
+    the capacity-proportional merge pass dominates a stage, so the lower
+    streamed-padding ratio converts almost fully into build throughput.
+    The cost is more compiled bucket shapes (log_r of total growth),
+    amortized by the persistent compile cache.
 
     The merge pass streams the whole CAPACITY each stage, so the mean
     capacity/size overhead over a bucket's stages is r*ln(r)/(r-1): 1.39x
@@ -786,9 +793,9 @@ def _bucket_growth() -> float:
     import os
 
     try:
-        g = float(os.environ.get("MSBWT_TPU_BUCKET_GROWTH", "2"))
+        g = float(os.environ.get("MSBWT_TPU_BUCKET_GROWTH", "1.3"))
     except ValueError:
-        g = 2.0
+        g = 1.3
     return min(max(g, 1.05), 4.0)
 
 

@@ -61,23 +61,24 @@ _VALID_CODES_NP = np.array(
 
 
 def _row_lanes() -> int:
-    """Pair-table row width in lanes. The legacy layout is a full 128-lane
-    row (512 B); ``MSBWT_TPU_PAIR_ROW60=1`` selects the compact 60-lane row
+    """Pair-table row width in lanes. DEFAULT is the compact 60-lane row
     (240 B): lanes 0..35 = occ checkpoints of the 36 VALID pair codes
     (s*6 + prev), lanes 36..59 = the 6 planes x 4 packed-qword lanes. Big-
     index pair queries are row-BANDWIDTH bound (BASELINE.md: ~46-52 GB/s
-    random-row), so row bytes convert directly into throughput — IF XLA
-    stores the [NB, 60] gather source dense (measured true-size storage for
-    gather sources in round 1; opt-in until re-measured at this shape)."""
+    random-row), so row bytes convert directly into throughput — measured
+    on hardware at 505M: 5.17M vs 4.53M q/s (1.14x, same-process A/B,
+    results equal; round-4 probe_row60). ``MSBWT_TPU_PAIR_ROW60=0``
+    restores the legacy 128-lane row (512 B). Readers infer the layout
+    from the stored row width, so either table loads anywhere."""
     import os
 
-    return 60 if os.environ.get("MSBWT_TPU_PAIR_ROW60") == "1" else 128
+    return 128 if os.environ.get("MSBWT_TPU_PAIR_ROW60") == "0" else 60
 
 
 class PairIndex(NamedTuple):
     """Device 2-step rank index."""
 
-    table2: jax.Array   # i32 [NB, 128]: occ lanes 0..47; packed planes 48..71
+    table2: jax.Array   # i32 [NB, 60] (default; legacy [NB, 128]) — see _row_lanes
     starts: jax.Array   # i32 [VC_LEN + 1] C array
     dmat: jax.Array     # i32 [VC_LEN * VC_LEN]: D[s1*6 + s2] constants
     n: int

@@ -114,14 +114,17 @@ PHYS_DTYPE = _phys_dtype_from_env()
 
 
 def _table_lanes_from_env() -> int:
-    """Fused rank-table row width. The legacy 128-lane row uses only lanes
-    0..5 (occ) and 32..79 (plane qwords); the 64-lane layout packs planes
-    at 8+16p+q and halves the kernel's table-write bytes (the per-stage
-    rank GATHER is count-bound, not byte-bound, so the win is all on the
-    write side). Env ``MSBWT_TPU_TABLE64=1`` opts in."""
+    """Fused rank-table row width. DEFAULT 64 lanes: the legacy 128-lane
+    row uses only lanes 0..5 (occ) and 32..79 (plane qwords); the 64-lane
+    layout packs planes at 8+16p+q and halves the kernel's table-write
+    bytes (the per-stage rank GATHER is count-bound, not byte-bound, so
+    the win is all on the write side). Measured round 4 (1M x 100bp):
+    sequential arms 6.82 -> 5.57 s; interleaved per-round ratios vs base
+    1.53/1.12/1.79 (median 1.53x, every round a win). Env
+    ``MSBWT_TPU_TABLE64=0`` restores the legacy 128-lane row."""
     import os
 
-    return 64 if os.environ.get("MSBWT_TPU_TABLE64") == "1" else 128
+    return 128 if os.environ.get("MSBWT_TPU_TABLE64") == "0" else 64
 
 
 TABLE_LANES = _table_lanes_from_env()
@@ -184,6 +187,20 @@ def _dma_depth_from_env() -> int:
 
 
 DMA_DEPTH = _dma_depth_from_env()
+
+
+def _gather_lanes(v, idx):
+    """Lane gather with dtype-safe lowering: Mosaic's ``tpu.dynamic_gather``
+    requires data and index bitwidths to MATCH (i16 phys tiles with i32
+    indices fail to compile — measured trap, round-4 i16 probe). Widening
+    sub-32-bit tiles in-register for the gather is VPU-cheap: the data is
+    already VMEM-resident, so the HBM byte savings of the narrow phys
+    layout are untouched."""
+    if v.dtype.itemsize != 4:
+        return jnp.take_along_axis(
+            v.astype(jnp.int32), idx, axis=1
+        ).astype(v.dtype)
+    return jnp.take_along_axis(v, idx, axis=1)
 
 
 def _merge_kernel(ca_ref, old_ref, ti_ref, wtab_ref, out_ref, tab_ref, buf,
@@ -310,7 +327,7 @@ def _merge_kernel(ca_ref, old_ref, ti_ref, wtab_ref, out_ref, tab_ref, buf,
             shifted = jnp.zeros((CS, 128), out_ref.dtype)
             for mm in range(K_VIEWS + 2):
                 v = nbuf[c % DMA_DEPTH, pl.ds(mm, CS), :]
-                g = jnp.take_along_axis(v, idx, axis=1)
+                g = _gather_lanes(v, idx)
                 shifted = jnp.where(m == mm, g, shifted)
             out_ref[:] = jnp.where(
                 ins > 0, (ins - 1).astype(out_ref.dtype), shifted
@@ -328,10 +345,8 @@ def _merge_kernel(ca_ref, old_ref, ti_ref, wtab_ref, out_ref, tab_ref, buf,
                 pair = win[pl.ds(xr0, 8), :]  # rows 0..1 hold the span
                 off = fw_row - xr0 * 128  # in [0, 256)
                 off_b = jnp.broadcast_to(off, (8, 128))
-                g_a = jnp.take_along_axis(pair, jnp.clip(off_b, 0, 127), axis=1)
-                g_b = jnp.take_along_axis(
-                    pair, jnp.clip(off_b - 128, 0, 127), axis=1
-                )
+                g_a = _gather_lanes(pair, jnp.clip(off_b, 0, 127))
+                g_b = _gather_lanes(pair, jnp.clip(off_b - 128, 0, 127))
                 rows.append(jnp.where(off < 128, g_a[0:1], g_b[1:2]))
             shifted = jnp.concatenate(rows, axis=0)
             out_ref[:] = jnp.where(

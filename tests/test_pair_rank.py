@@ -134,10 +134,14 @@ def test_model_level_pair_index(setup, rng):
 
 
 def test_compact_row60_layout_matches_legacy(setup, rng, monkeypatch):
-    """The 240-byte 60-lane row layout (MSBWT_TPU_PAIR_ROW60) must answer
-    identically to the legacy 128-lane layout, with and without a cache
-    seed, including odd-tail single-symbol rounds."""
-    dec, index, pidx = setup
+    """The 240-byte 60-lane row layout (now the default) must answer
+    identically to the legacy 128-lane layout (MSBWT_TPU_PAIR_ROW60=0),
+    with and without a cache seed, including odd-tail single-symbol
+    rounds."""
+    dec, index, _ = setup
+    monkeypatch.setenv("MSBWT_TPU_PAIR_ROW60", "0")
+    pidx = build_pair_index(index)       # legacy 128-lane arm
+    assert pidx.table2.shape[1] == 128
     monkeypatch.setenv("MSBWT_TPU_PAIR_ROW60", "1")
     pidx60 = build_pair_index(index)
     assert pidx60.table2.shape[1] == 60
