@@ -38,23 +38,19 @@ if "--child" in sys.argv:
     print("OK")
     sys.exit(0)
 
+# round-4 note: the INS8 and int16-phys levers were measured on hardware
+# and deleted (BASELINE.md decision table); the surviving knob axes are
+# chunk size, DMA pipeline depth, table row width, and the radix pairing.
 combos = []
-for cs, ins8, depth, extra in itertools.product(
-    ("32", "64", "128", "256"), ("0", "1"), ("2", "4"), (False, True)
+for cs, depth, table in itertools.product(
+    ("32", "64", "128", "256"), ("2", "4"), ("0", "1")
 ):
-    env = {"MSBWT_TPU_MERGE_CS": cs, "MSBWT_TPU_DMA_DEPTH": depth}
-    if ins8 == "1":
-        env["MSBWT_TPU_INS8"] = "1"
-    if extra:
-        env["MSBWT_TPU_PHYS_DTYPE"] = "int16"
-        env["MSBWT_TPU_TABLE64"] = "1"
-    combos.append(env)
-# radix-2 stage pairing composed with the stream/chunk levers
-for cs, ins8 in itertools.product(("64", "128"), ("0", "1")):
-    env = {"MSBWT_TPU_MERGE_CS": cs, "MSBWT_TPU_RADIX": "2"}
-    if ins8 == "1":
-        env["MSBWT_TPU_INS8"] = "1"
-    combos.append(env)
+    combos.append({"MSBWT_TPU_MERGE_CS": cs, "MSBWT_TPU_DMA_DEPTH": depth,
+                   "MSBWT_TPU_TABLE64": table})
+# radix-2 stage pairing composed with the chunk/table levers
+for cs, table in itertools.product(("64", "128"), ("0", "1")):
+    combos.append({"MSBWT_TPU_MERGE_CS": cs, "MSBWT_TPU_RADIX": "2",
+                   "MSBWT_TPU_TABLE64": table})
 
 fails = 0
 for i, env in enumerate(combos):

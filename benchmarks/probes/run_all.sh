@@ -1,9 +1,14 @@
 #!/bin/bash
-# Hardware A/B session for the round-3 opt-in perf levers. Run when the
-# axon tunnel is healthy; results land in /tmp/probe_logs/. Ordered so a
-# mid-session tunnel drop loses the least (cheap decisions first, the
-# potentially-runtime-faulting i16 probe LAST). Each step runs under
-# `timeout` so a hang cannot wedge the session.
+# Hardware A/B session for the opt-in perf levers. Run when the axon
+# tunnel is healthy; results land in /tmp/probe_logs/. Ordered so a
+# mid-session tunnel drop loses the least (cheap decisions first). Each
+# step runs under `timeout` so a hang cannot wedge the session.
+#
+# Round-4 note: sequential arms could not decide close calls under the
+# platform's ~2x session drift — prefer benchmarks/probes/interleaved_ab.py
+# for any build-lever decision; this script remains the broad survey.
+# The INS8 / int16-phys levers were decided (loss / structurally refuted)
+# and deleted; their steps are gone.
 #
 # QUICK=1 runs a ~30-minute variant: every build A/B at the 1M-read
 # config instead of 5M, and the 505M-only probes skipped — for a short
@@ -73,12 +78,6 @@ step growth 1800 python benchmarks/probes/probe_growth.py 1000000 2,1.3
 #    plane layout freezes at import)
 step table64_off "$AB_TMO" python benchmarks/probes/probe_merge_cs.py 1000000 100 64
 step table64_on "$AB_TMO" env MSBWT_TPU_TABLE64=1 python benchmarks/probes/probe_merge_cs.py 1000000 100 64
-
-# 7. LAST: primitives that can hard-fault the TPU runtime, then their
-#    build-scale A/Bs (vs the table64_off baseline arm above)
-step ins8 900 python benchmarks/probes/probe_ins8.py
-step ins8_build "$AB_TMO" env MSBWT_TPU_INS8=1 python benchmarks/probes/probe_merge_cs.py 1000000 100 64
-step i16 1200 python benchmarks/probes/probe_i16.py
 
 echo "=== all done; logs in $LOGS ==="
 python -m benchmarks.probes.summarize "$LOGS" || true

@@ -53,7 +53,6 @@ def main(argv=None) -> int:
 
     for name, baseline_name in (
         ("dma4", "merge_cs"),        # vs same-scale cs=64 arm
-        ("ins8_build", "table64_off"),
         ("table64_on", "table64_off"),
     ):
         res = _results(_read(logs, name))
@@ -69,8 +68,6 @@ def main(argv=None) -> int:
         ("growth", [r"growth=[0-9.]+: steady [0-9.]+s.*"]),
         ("row60", [r".*M q/s device.*"]),
         ("final", [r".*GB/s", r"pair cache_k=\d+: .*", r"cache 6\^10 .*"]),
-        ("ins8", [r"int8 tile .*", r".*MISMATCH.*"]),
-        ("i16", [r"offset \d+: .*", r".*MISMATCH.*"]),
     ):
         text = _read(logs, name)
         if not text:

@@ -12,9 +12,10 @@ Checks:
      sequential host loop (reference semantics) on sampled k-mers,
   4. extend flow (base + new batch) parity across engines,
   5. opt-in perf layouts on real hardware: pair-fast stream, 60-lane pair
-     rows, small bucket growth (in-process env), and — via subprocesses,
-     because they are read at import — int16 phys, 64-lane fused table,
-     and CS=32/128 merge chunks.
+     rows, bucket growth (in-process env), and — via subprocesses, because
+     they are read at import — legacy 128-lane table rows, CS=32/128 merge
+     chunks, and DMA depth 4. (The int16-phys and INS8 levers were measured
+     and deleted in round 4 — BASELINE.md decision table.)
 
 Prints PASS/FAIL per check; exits nonzero on any failure.
 """
@@ -275,15 +276,10 @@ def main() -> int:
 
     # 5b. import-time knobs via subprocess children
     for env_kv in (
-        {"MSBWT_TPU_BUCKET_GROWTH": "1.3"},
-        {"MSBWT_TPU_PHYS_DTYPE": "int16"},
-        {"MSBWT_TPU_TABLE64": "1"},
+        {"MSBWT_TPU_BUCKET_GROWTH": "2"},      # legacy growth factor
+        {"MSBWT_TPU_TABLE64": "0"},            # legacy 128-lane table rows
         {"MSBWT_TPU_MERGE_CS": "32"},
-        {"MSBWT_TPU_INS8": "1"},
-        {"MSBWT_TPU_PHYS_DTYPE": "int16", "MSBWT_TPU_TABLE64": "1",
-         "MSBWT_TPU_MERGE_CS": "128"},
-        {"MSBWT_TPU_INS8": "1", "MSBWT_TPU_PHYS_DTYPE": "int16",
-         "MSBWT_TPU_TABLE64": "1"},
+        {"MSBWT_TPU_MERGE_CS": "128", "MSBWT_TPU_TABLE64": "0"},
         {"MSBWT_TPU_DMA_DEPTH": "4"},
     ):
         label = ",".join(f"{k.replace('MSBWT_TPU_', '')}={v}"
@@ -295,7 +291,7 @@ def main() -> int:
             )
             ok = r.returncode == 0
         except subprocess.TimeoutExpired:
-            # A hung knob child (int16 DMA fault, tunnel stall) must count
+            # A hung knob child (runtime DMA fault, tunnel stall) must count
             # as that combination failing, not abort the whole validation.
             ok = False
         check(f"knob child [{label}] build+query parity (hw)", ok)

@@ -38,6 +38,20 @@ along the 128-lane axis; ``jnp.cumsum`` has no Pallas lowering (hence the
 XLA-side tmap); uint8 rolls/slices miscompile, so the buffer is int32 rows
 of 128 with CHUNK-element PAD guards managed by ``to_phys``/``from_phys``.
 Symbol values use 0..5; PAD is 7 (ops.rank._PAD_SYMBOL).
+
+Levers measured on hardware and REMOVED (round 4 — full decision table in
+BASELINE.md):
+
+* int16 phys buffers (halve window-read/output-write bytes): structurally
+  refuted — Mosaic's ``tpu.dynamic_gather`` requires data/index bitwidths
+  to match, and 16-bit tiles additionally require sublane slice starts to
+  be multiples of 8, which the K+2 shifted views and the wide path's
+  dynamic row-pair slice both violate. Neither is fixable without
+  re-materializing the views (which costs the bytes the lever would save).
+* int8 insertion stream with in-kernel MXU shift map (``INS8``): lowered
+  fine but measured a LOSS (interleaved A/B median per-round ratio 0.88x
+  vs base; 6.13 s vs 5.57 s at 1M x 100bp) — the two extra per-chunk
+  matmuls outweigh the 3-bytes/position stream saving.
 """
 
 from __future__ import annotations
@@ -97,22 +111,6 @@ K_VIEWS = max(1, CS // 64)
 assert K_VIEWS <= 7
 
 
-def _phys_dtype_from_env():
-    """Phys-buffer element dtype. Symbols are 0..7, so int16 halves the
-    merge pass's old-window read and merged-output write bytes (i16 tiles
-    are also layout-compatible with the bf16 plane matmuls). uint8 would
-    halve again but its dynamic-start DMA miscompiles on this platform
-    (recorded trap); int16 support is probed by /tmp/probe_i16-style toy
-    kernels before enabling. Env ``MSBWT_TPU_PHYS_DTYPE=int16`` opts in."""
-    import os
-
-    return (jnp.int16 if os.environ.get("MSBWT_TPU_PHYS_DTYPE") == "int16"
-            else jnp.int32)
-
-
-PHYS_DTYPE = _phys_dtype_from_env()
-
-
 def _table_lanes_from_env() -> int:
     """Fused rank-table row width. DEFAULT 64 lanes: the legacy 128-lane
     row uses only lanes 0..5 (occ) and 32..79 (plane qwords); the 64-lane
@@ -130,37 +128,6 @@ def _table_lanes_from_env() -> int:
 TABLE_LANES = _table_lanes_from_env()
 # plane-p qword q lives at table lane PLANE_BASE + 16p + q
 PLANE_BASE = 8 if TABLE_LANES == 64 else 32
-
-
-def _ins8_from_env() -> bool:
-    """Stream only the int8 insertion values to the kernel and derive the
-    shift map (tmap) IN-KERNEL instead of shipping a packed
-    ``(tmap << 3) | ins`` int32 word per position. tmap is an inclusive
-    prefix over the insertion indicator, which the kernel can compute with
-    two MXU matmuls (within-row lane prefix + within-chunk row prefix —
-    the same trick the fused table's occ rows already use); the global
-    offset ``a`` comes off the scalar-prefetched per-chunk counts that the
-    window DMA needs anyway. Cuts the kernel's per-stage stream from 4
-    bytes/position to 1 and removes the XLA-side tmap materialization +
-    pack passes entirely (~12C of prep HBM traffic per stage at capacity
-    C). Risk: int8 BlockSpec input tiles are untested on hardware (uint8
-    buffers miscompile — a recorded trap; int8 *may* share it), so this is
-    opt-in via ``MSBWT_TPU_INS8=1`` until probed. Requires CS >= 32 (int8
-    tile sublane granularity)."""
-    import os
-    import sys
-
-    if os.environ.get("MSBWT_TPU_INS8") != "1":
-        return False
-    if CS < 32:
-        print("WARNING: MSBWT_TPU_INS8=1 requires CS >= 32 "
-              f"(int8 tile granularity); ignoring at CS={CS}",
-              file=sys.stderr, flush=True)
-        return False
-    return True
-
-
-INS8 = _ins8_from_env()
 
 
 def _dma_depth_from_env() -> int:
@@ -187,20 +154,6 @@ def _dma_depth_from_env() -> int:
 
 
 DMA_DEPTH = _dma_depth_from_env()
-
-
-def _gather_lanes(v, idx):
-    """Lane gather with dtype-safe lowering: Mosaic's ``tpu.dynamic_gather``
-    requires data and index bitwidths to MATCH (i16 phys tiles with i32
-    indices fail to compile — measured trap, round-4 i16 probe). Widening
-    sub-32-bit tiles in-register for the gather is VPU-cheap: the data is
-    already VMEM-resident, so the HBM byte savings of the narrow phys
-    layout are untouched."""
-    if v.dtype.itemsize != 4:
-        return jnp.take_along_axis(
-            v.astype(jnp.int32), idx, axis=1
-        ).astype(v.dtype)
-    return jnp.take_along_axis(v, idx, axis=1)
 
 
 def _merge_kernel(ca_ref, old_ref, ti_ref, wtab_ref, out_ref, tab_ref, buf,
@@ -281,29 +234,10 @@ def _merge_kernel(ca_ref, old_ref, ti_ref, wtab_ref, out_ref, tab_ref, buf,
     def _():
         a = ca_ref[c]  # insertions strictly before the chunk start
         nins = ca_ref[c + 1] - a
-        if INS8:
-            # int8 stream: only the insertion values ship; the shift map
-            # is derived here. tloc = W - is_ins where W = within-chunk
-            # inclusive insertion count, via two exact MXU matmuls
-            # (indicator row sums <= 128: bf16-exact; row totals <= CHUNK
-            # << 2^24: f32-exact).
-            ins = ti_ref[:].astype(jnp.int32)
-            is_ins = (ins > 0).astype(jnp.int32)
-            bits = (ins > 0).astype(jnp.bfloat16)
-            rowcum = jnp.dot(
-                bits, wtab_ref[4, :128, :128].astype(jnp.bfloat16),
-                preferred_element_type=jnp.float32,
-            )
-            rowtot = jnp.broadcast_to(rowcum[:, 127:128], (CS, 128))
-            rows_incl = jnp.dot(wtab_ref[3, :CS, :CS], rowtot,
-                                preferred_element_type=jnp.float32)
-            w_cnt = (rowcum + rows_incl - rowtot).astype(jnp.int32)
-            tloc = w_cnt - is_ins
-        else:
-            ti = ti_ref[:]  # packed word: (shift-count << 3) | insval
-            ins = ti & 7
-            is_ins = (ins > 0).astype(jnp.int32)
-            tloc = (ti >> 3) - a - is_ins
+        ti = ti_ref[:]  # packed word: (shift-count << 3) | insval
+        ins = ti & 7
+        is_ins = (ins > 0).astype(jnp.int32)
+        tloc = (ti >> 3) - a - is_ins
 
         src0 = c * CHUNK - a
         row_lo = (src0 - CHUNK) // 128
@@ -327,7 +261,7 @@ def _merge_kernel(ca_ref, old_ref, ti_ref, wtab_ref, out_ref, tab_ref, buf,
             shifted = jnp.zeros((CS, 128), out_ref.dtype)
             for mm in range(K_VIEWS + 2):
                 v = nbuf[c % DMA_DEPTH, pl.ds(mm, CS), :]
-                g = _gather_lanes(v, idx)
+                g = jnp.take_along_axis(v, idx, axis=1)
                 shifted = jnp.where(m == mm, g, shifted)
             out_ref[:] = jnp.where(
                 ins > 0, (ins - 1).astype(out_ref.dtype), shifted
@@ -345,8 +279,9 @@ def _merge_kernel(ca_ref, old_ref, ti_ref, wtab_ref, out_ref, tab_ref, buf,
                 pair = win[pl.ds(xr0, 8), :]  # rows 0..1 hold the span
                 off = fw_row - xr0 * 128  # in [0, 256)
                 off_b = jnp.broadcast_to(off, (8, 128))
-                g_a = _gather_lanes(pair, jnp.clip(off_b, 0, 127))
-                g_b = _gather_lanes(pair, jnp.clip(off_b - 128, 0, 127))
+                g_a = jnp.take_along_axis(pair, jnp.clip(off_b, 0, 127), axis=1)
+                g_b = jnp.take_along_axis(
+                    pair, jnp.clip(off_b - 128, 0, 127), axis=1)
                 rows.append(jnp.where(off < 128, g_a[0:1], g_b[1:2]))
             shifted = jnp.concatenate(rows, axis=0)
             out_ref[:] = jnp.where(
@@ -390,25 +325,19 @@ def _merge_kernel(ca_ref, old_ref, ti_ref, wtab_ref, out_ref, tab_ref, buf,
 _W = max(CS, 128)
 
 
-# plane count: the INS8-only lane-prefix plane is built and shipped only
-# when INS8 is on, so the default configuration stays byte-identical
-_N_PLANES = 5 if INS8 else 4
+_N_PLANES = 4
 
 
 def _wtab_np() -> np.ndarray:
     """[_N_PLANES, _W, _W] f32 kernel weights: planes 0..2 = the qword
     packing matrices in the top-left 128x128 (position i -> lane
     PLANE_BASE + 16p + i//8, weight 2^(i%8)); plane 3 = the
-    lower-triangular within-chunk row-prefix matrix (top-left CSxCS);
-    plane 4 (INS8 only) = the upper-triangular within-row inclusive
-    lane-prefix matrix (top-left 128x128, for the in-kernel shift map)."""
+    lower-triangular within-chunk row-prefix matrix (top-left CSxCS)."""
     w = np.zeros((_N_PLANES, _W, _W), np.float32)
     for plane in range(3):
         for i in range(128):
             w[plane, i, PLANE_BASE + 16 * plane + i // 8] = float(1 << (i % 8))
     w[3, :CS, :CS] = np.tril(np.ones((CS, CS), np.float32))
-    if INS8:
-        w[4, :128, :128] = np.triu(np.ones((128, 128), np.float32))
     return w
 
 
@@ -465,11 +394,13 @@ def phys_rows(n_cap: int) -> int:
 
 def to_phys(buf_logical: jax.Array, n_cap: int) -> jax.Array:
     """Embed a logical buffer (flat [n_cap]) into the padded phys layout
-    (``PHYS_DTYPE`` elements)."""
+    (int32 elements — narrower phys dtypes are measured dead ends: uint8
+    dynamic-start DMA miscompiles, int16 tiles hit Mosaic gather-bitwidth
+    and sublane-alignment limits; see module docstring)."""
     rows = phys_rows(n_cap)
-    flat = jnp.full(rows * 128, _PAD, PHYS_DTYPE)
+    flat = jnp.full(rows * 128, _PAD, jnp.int32)
     flat = jax.lax.dynamic_update_slice(
-        flat, buf_logical.astype(PHYS_DTYPE), (CHUNK,)
+        flat, buf_logical.astype(jnp.int32), (CHUNK,)
     )
     return flat.reshape(rows, 128)
 
@@ -509,7 +440,6 @@ def merge_insert_phys(old_phys, q, v, active, *, interpret=False):
     """
     rows = old_phys.shape[0]
     total = rows * 128
-    n_chunks = rows // CS
     m = jnp.sum(active.astype(jnp.int32))
     qp = jnp.where(active, q + CHUNK, total)  # phys coords; inactive -> dropped
     # int8 insertion stream: the scatter target, the tmap-delta read and the
@@ -520,18 +450,6 @@ def merge_insert_phys(old_phys, q, v, active, *, interpret=False):
         .set(v.astype(jnp.int8) + 1, mode="drop")
         .reshape(rows, 128)
     )
-    if INS8:
-        # the kernel derives the shift map itself; ship only the int8
-        # values + the per-chunk counts the window DMA needs anyway
-        counts = jnp.sum(
-            (ins > 0).reshape(n_chunks, CS * 128), axis=1, dtype=jnp.int32
-        )
-        chunk_a = jnp.concatenate(
-            [jnp.zeros(1, jnp.int32), jnp.cumsum(counts, dtype=jnp.int32)]
-        )
-        new_phys, table = _merge_call(chunk_a, old_phys, ins,
-                                      interpret=interpret)
-        return new_phys, table, m
     tmap = _tmap_from_delta((ins > 0).astype(jnp.int32))
     # per-chunk exclusive insertion counts straight off tmap chunk boundaries
     # (a strided slice — a second N-element scatter costs ~12 ns/element)

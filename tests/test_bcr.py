@@ -294,7 +294,7 @@ def test_bucketed_radix2_small_growth(monkeypatch, rng):
 
 def test_all_optin_levers_composed(monkeypatch, rng):
     """Every opt-in perf lever enabled at once (pair-fast stream, 60-lane
-    pair rows, int16 phys, 64-lane fused table, small bucket growth,
+    pair rows, 64-lane fused table, small bucket growth,
     CS-independent bucket math) must stay oracle-exact through the fused
     build -> indexes -> pair -> queries flow."""
     import jax.numpy as jnp
@@ -308,7 +308,7 @@ def test_all_optin_levers_composed(monkeypatch, rng):
     monkeypatch.setenv("MSBWT_TPU_BUCKET_GROWTH", "1.2")
     monkeypatch.setenv("MSBWT_TPU_PAIR_FAST", "1")
     monkeypatch.setenv("MSBWT_TPU_PAIR_ROW60", "1")
-    # PHYS_DTYPE / TABLE64 / MERGE_CS are read at import; covered by the
+    # TABLE64 / MERGE_CS / DMA_DEPTH are read at import; covered by the
     # env-matrix CI lanes — here exercise the dynamically-read knobs
     reads_l = [rng.integers(1, 6, int(rng.integers(3, 18))).astype(np.uint8)
                for _ in range(30)]
