@@ -591,21 +591,37 @@ def _pallas_stage1(base, q1, reads_cols, lengths, base_counts, *, n0, n_cap,
 def build_radix(n_cap: int | None = None, n_reads: int | None = None) -> int:
     """Columns consumed per merge pass on the Pallas engine.
 
-    Default 1. Radix 2 (``MSBWT_TPU_RADIX=2``) is a measured LOSS on the
-    short-read flagship config — 505M symbols as 5M x 100bp went 41.4 ->
-    113.9 s because the double-stage's [N]-sized corrections (argsort
-    19 ms, scatter 45 ms, sort-based searchsorted ~50 ms, extra rank
-    gather) exceed the ~125 ms capacity-proportional merge saving at
-    N=5M. The overhead is N-proportional and the saving
-    capacity-proportional, so long reads should flip the sign — but an
-    interleaved A/B at 500k x 1000bp was INCONCLUSIVE under the
-    platform's 2x run-to-run build variance (ratios 0.61-1.42x across
-    interleaved rounds). Until a quieter session shows a reproducible
-    win, auto mode stays at radix 1 everywhere."""
+    Short reads: radix 2 is a measured LOSS on the flagship config —
+    505M symbols as 5M x 100bp went 41.4 -> 113.9 s (round 3) because
+    the double-stage's [N]-sized corrections (argsort, scatter,
+    sort-based searchsorted, extra rank gather) exceed the ~125 ms
+    capacity-proportional merge saving at N=5M. The overhead is
+    N-proportional and the saving capacity-proportional, so LONG reads
+    flip the sign: the round-4 variance-immune A/B (interleaved
+    rounds, order flipped each round, median of per-round ratios,
+    health-gated — probes/probe_radix2.py) measured a WIN at
+    500k x 1000bp: median 1.180x, all 9 rounds in agreement (1.06-1.38).
+
+    Auto therefore selects radix 2 when the mean sequence length is
+    >= 500 (the measured-win regime; the measured-loss point is L=100,
+    and the N-proportional correction cost shrinks with 1/L at fixed
+    capacity). ``MSBWT_TPU_RADIX=1|2`` forces either.
+
+    >>> build_radix(505_000_000, 5_000_000)   # 100bp short reads
+    1
+    >>> build_radix(500_500_000, 500_000)     # 1000bp long reads
+    2
+    >>> build_radix()                         # unknown shape: stay at 1
+    1
+    """
     import os
 
     v = os.environ.get("MSBWT_TPU_RADIX", "auto")
     if v == "2":
+        return 2
+    if v == "1":
+        return 1
+    if n_cap and n_reads and n_cap / n_reads >= 501:  # mean L >= 500
         return 2
     return 1
 
