@@ -285,6 +285,11 @@ def run_large(reps: int = 3) -> dict:
                 f"exact match; host RLE {rle_s:.1f}s) -> device is "
                 f"{base['vs_baseline_native']}x")
         del rle
+    except AssertionError:
+        # a device/baseline COUNT MISMATCH is a correctness signal, not a
+        # transient baseline hiccup — fail the whole bench loudly (the
+        # top-level policy already treats AssertionError as non-retryable)
+        raise
     except Exception as e:
         log(f"[large] native baseline failed: {type(e).__name__}: {e}")
         base = {"baseline_error": f"{type(e).__name__}"}
@@ -477,11 +482,21 @@ def main():
               "(1M x 21-mers vs 505M-symbol E. coli index)")
     value = large.get("query_qps_device")
     vs_baseline = large.get("vs_baseline_native")
+    vs_baseline_note = None
     if value is None:
         metric = (f"kmer count queries/s/chip ({B} x 21-mers, "
                   f"{reads.shape[0]} x 100bp reads)")
         value = round(qps)
         vs_baseline = round(qps / cpu_qps, 2)
+    elif vs_baseline is None:
+        # the 505M leg succeeded but its native-baseline sub-step failed
+        # transiently: don't ship a null ratio — fall back to the toy-config
+        # ratio and say so (the 505M ratio historically runs ~4x HIGHER than
+        # the toy one, so this understates rather than inflates)
+        vs_baseline = round(qps / cpu_qps, 2)
+        vs_baseline_note = ("505M native-baseline leg failed "
+                            f"({large.get('baseline_error')}); vs_baseline "
+                            "is the TOY-config ratio (conservative)")
     emit({
         "metric": metric,
         "value": value,
@@ -489,6 +504,8 @@ def main():
         "vs_baseline": vs_baseline,
         "extra": {
             "ecoli_505M": large,
+            **({"vs_baseline_note": vs_baseline_note}
+               if vs_baseline_note else {}),
             "toy_query_qps": round(qps),
             "toy_vs_baseline": round(qps / cpu_qps, 2),
             # active perf-lever env knobs, so a recorded number can always

@@ -207,9 +207,13 @@ def main(argv=None) -> int:
         for i in range(procs)
     ]
     logs, ok, rec = [], True, None
+    # worker budget < every caller's subprocess budget (tests and
+    # __graft_entry__ wrap this script in an 840 s timeout): if the outer
+    # kill fired first, the gloo worker children would be orphaned holding
+    # the coordinator port and CPU
     for i, c in enumerate(children):
         try:
-            out_b, _ = c.communicate(timeout=900)
+            out_b, _ = c.communicate(timeout=700)
         except subprocess.TimeoutExpired:
             c.kill()
             out_b = b"(timeout)"
@@ -219,6 +223,12 @@ def main(argv=None) -> int:
             ok = False
             print(f"--- worker {i} rc={c.returncode} ---\n{text[-3000:]}",
                   file=sys.stderr)
+            # a failed/hung worker means the gloo rendezvous can never
+            # complete — reap the remaining children instead of waiting out
+            # their full budgets one by one
+            for other in children:
+                if other.poll() is None:
+                    other.kill()
         for line in text.splitlines():
             if line.startswith("REHEARSAL_RESULT ") and i == 0:
                 rec = json.loads(line.split(" ", 1)[1])

@@ -270,7 +270,7 @@ def build_msbwt(
             n0=p["n0"], n_cap=p["n_cap"], L=p["L"],
             n_strings_total=p["n_strings_total"], engine=p["engine"],
             interpret=p["interpret"], cols_on_device=p["cols_on_device"],
-            radix=build_radix(p["n_cap"], p["N"]),
+            radix=build_radix(p["n_cap"], p["N"], n_base=p["n0"]),
         )
     return out if device_out else np.asarray(out)
 
@@ -588,7 +588,8 @@ def _pallas_stage1(base, q1, reads_cols, lengths, base_counts, *, n0, n_cap,
     return cur, table, q1, counts, v1, jnp.int32(n0) + m
 
 
-def build_radix(n_cap: int | None = None, n_reads: int | None = None) -> int:
+def build_radix(n_cap: int | None = None, n_reads: int | None = None,
+                n_base: int = 0) -> int:
     """Columns consumed per merge pass on the Pallas engine.
 
     Short reads: radix 2 is a measured LOSS on the flagship config —
@@ -602,15 +603,21 @@ def build_radix(n_cap: int | None = None, n_reads: int | None = None) -> int:
     health-gated — probes/probe_radix2.py) measured a WIN at
     500k x 1000bp: median 1.180x, all 9 rounds in agreement (1.06-1.38).
 
-    Auto therefore selects radix 2 when the mean sequence length is
-    >= 500 (the measured-win regime; the measured-loss point is L=100,
-    and the N-proportional correction cost shrinks with 1/L at fixed
-    capacity). ``MSBWT_TPU_RADIX=1|2`` forces either.
+    Auto therefore selects radix 2 when the mean sequence length OF THE
+    NEW BATCH is >= 500 (the measured-win regime; the measured-loss
+    point is L=100, and the N-proportional correction cost shrinks with
+    1/L at fixed capacity). For extend flows ``n_base`` (the existing
+    base length, part of ``n_cap``) is subtracted first so that
+    extending a large base with a small batch of short reads does not
+    silently land in the unmeasured radix-2 regime.
+    ``MSBWT_TPU_RADIX=1|2`` forces either.
 
     >>> build_radix(505_000_000, 5_000_000)   # 100bp short reads
     1
     >>> build_radix(500_500_000, 500_000)     # 1000bp long reads
     2
+    >>> build_radix(505_101_000, 1_000, n_base=505_000_000)  # extend, L=100
+    1
     >>> build_radix()                         # unknown shape: stay at 1
     1
     """
@@ -621,7 +628,7 @@ def build_radix(n_cap: int | None = None, n_reads: int | None = None) -> int:
         return 2
     if v == "1":
         return 1
-    if n_cap and n_reads and n_cap / n_reads >= 501:  # mean L >= 500
+    if n_cap and n_reads and (n_cap - n_base) / n_reads >= 501:  # mean L>=500
         return 2
     return 1
 
@@ -858,7 +865,7 @@ def _bcr_insert_bucketed(base, q1, reads_cols, lengths, base_counts, *, n0,
                          cols_on_device, return_carry=False):
     from rust_msbwt_tpu.ops import pallas_merge as pm
 
-    radix = build_radix(n_cap, N)
+    radix = build_radix(n_cap, N, n_base=n0)
     buckets = bucket_schedule(n0, N, L, n_cap, pm.CHUNK)
     if radix == 2:
         # even-length buckets (shrink, never extend — a pair must fit its
@@ -999,7 +1006,7 @@ def build_msbwt_with_index(
             n0=p["n0"], n_cap=p["n_cap"], L=p["L"],
             n_strings_total=p["n_strings_total"], interpret=p["interpret"],
             cols_on_device=p["cols_on_device"],
-            radix=build_radix(p["n_cap"], p["N"]),
+            radix=build_radix(p["n_cap"], p["N"], n_base=p["n0"]),
         )
     bwt, occ, starts, ptab = _derive_indexes_from_phys(
         carry[0], carry[1], carry[3], n=p["n_cap"]

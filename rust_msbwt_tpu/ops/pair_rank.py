@@ -20,16 +20,23 @@ rows of the ``s2``-block below ``l1`` correspond order-preservingly via LF
 to rows ``i < l`` with ``BWT[i] = s2``, and their BWT symbol is
 ``BWT[LF(i)]``).
 
-Layout: per 128-position bin ONE [128]-lane i32 row (512 B) — lanes 0..47
-hold the 48 shift-packed pair-code occurrence checkpoints, lanes 48..71
-hold the 6 bit-planes x 16 qwords of the in-bin 6-bit pair codes packed
-FOUR per lane (big-index gathers are BANDWIDTH-bound — measured 52 GB/s on
-1 KB rows — so halving row bytes buys throughput directly). A pair rank is
-ONE row gather + bytewise XNOR/AND/popcount over 6 planes. The shift
-packing makes the odd-tail SINGLE-symbol rank free: matching only planes
-3..5 counts positions with ``BWT[i] = s`` for any previous symbol. A
-21-mer with a cache_k=8 seed costs 7 rounds x 2 gathers = 14 gathers, vs
-13 rounds x 2 = 26 through the single-step table.
+Layout (default, 60 lanes / 240 B per 128-position bin): lanes 0..35 hold
+occurrence checkpoints of the 36 VALID pair codes (dense ``s*6 + prev``
+indexing), lanes 36..59 hold the 6 bit-planes x 4 lanes of in-bin 6-bit
+pair codes packed FOUR qwords per lane. Big-index pair queries are
+row-BANDWIDTH bound (~46-52 GB/s random-row), so row bytes convert
+directly into throughput — the compact row measured 5.17M vs 4.53M q/s
+(+14%) at 505M (round-4 probe_row60). ``MSBWT_TPU_PAIR_ROW60=0`` restores
+the legacy 128-lane row (512 B): occ checkpoints of the 48 shift-packed
+codes ``(s << 3) | prev`` at lanes 0..47, plane-p qwords 4l..4l+3 in the
+bytes of lane 48 + 4p + l — 6 planes x 16 qwords in lanes 48..71. Readers
+infer the layout from the stored row width, so either table loads
+anywhere. A pair rank is ONE row gather + bytewise XNOR/AND/popcount over
+6 planes. The packing makes the odd-tail SINGLE-symbol rank free:
+matching only the symbol-half planes counts positions with ``BWT[i] = s``
+for any previous symbol. A 21-mer with a cache_k=8 seed costs 7 rounds
+x 2 gathers = 14 gathers, vs 13 rounds x 2 = 26 through the single-step
+table.
 
 The pair stream needs LF for every position, computed positionally from
 the occ checkpoints (no n-element sort; see ``_build_pair_stream``).
