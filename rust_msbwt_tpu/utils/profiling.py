@@ -148,6 +148,34 @@ def query_roofline(n_queries: int, k: int, measured_seconds: float,
     return Roofline(bytes_touched, bytes_touched / hbm_bw, measured_seconds)
 
 
+def pair_query_roofline(n_queries: int, k: int, measured_seconds: float,
+                        cache_k: int = 0, row_bytes: int = 240,
+                        hbm_bw: float = DEFAULT_HBM_BW) -> Roofline:
+    """Bytes model for batched count_kmer on the 2-step PAIR index
+    (ops.pair_rank): each round consumes TWO pattern symbols with two row
+    gathers (both range ends), plus one single-symbol round for an odd
+    tail — i.e. ``ceil((k - cache_k) / 2)`` rounds x 2 gathers x
+    ``row_bytes`` (240 B compact rows by default; 512 B legacy). A prefix
+    cache seeds the first ``cache_k`` symbols with one 8-byte lookup.
+
+    Queries at this scale are gather-LATENCY/throughput bound, not
+    stream-bandwidth bound (BASELINE.md: random 240-512 B rows gather at
+    ~46-52 GB/s, ~4x below the sequential-stream rate), so fractions of
+    light well below 1 are expected and the model deliberately uses the
+    SPEC bandwidth — the gap to 1.0 is the price of random access.
+
+    >>> r = pair_query_roofline(1_000_000, k=21, measured_seconds=0.1,
+    ...                         cache_k=9, hbm_bw=800e9)
+    >>> r.bytes_touched        # ceil(12/2)=6 rounds x 2 x 240 B + 8 B
+    2888000000
+    >>> 0 < r.fraction_of_light < 1
+    True
+    """
+    rounds = -(-max(k - cache_k, 0) // 2)
+    bytes_touched = n_queries * (rounds * 2 * row_bytes + (8 if cache_k else 0))
+    return Roofline(bytes_touched, bytes_touched / hbm_bw, measured_seconds)
+
+
 def build_roofline(n_symbols: int, max_read_len: int, measured_seconds: float,
                    hbm_bw: float = DEFAULT_HBM_BW) -> Roofline:
     """Bytes model for the Pallas BCR engine: each of ~max_read_len stages
