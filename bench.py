@@ -271,19 +271,30 @@ def run_large(reps: int = 3) -> dict:
         rle_s = time.perf_counter() - t0
         nq = 20_000
         sample = np.asarray(kmers[:nq])
-        t0 = time.perf_counter()
-        bcounts = baseline_count_kmers_native(rle, sample, threads=1)
-        base_s = time.perf_counter() - t0
+        # best-of-5 on the shared single core (VERDICT r4 #6): the minimum
+        # is the contention-free estimate; record loadavg for attribution
+        load_1m = os.getloadavg()[0]
+        base_s, bcounts = None, None
+        for _ in range(5):
+            t0 = time.perf_counter()
+            bcounts = baseline_count_kmers_native(rle, sample, threads=1)
+            dt = time.perf_counter() - t0
+            if bcounts is None:
+                break
+            base_s = dt if base_s is None else min(base_s, dt)
         if bcounts is not None:
             assert bcounts.tolist() == counts[:nq].tolist(), \
                 "505M device/baseline count mismatch"
             base_qps = nq / base_s
             base = {
                 "baseline_query_qps": round(base_qps),
+                "baseline_query_reps": 5,
+                "baseline_load_1m": round(load_1m, 2),
                 "vs_baseline_native": round((B / best_q) / base_qps, 2),
             }
-            log(f"[large] native baseline: {base_qps:,.0f} q/s ({nq} queries; "
-                f"exact match; host RLE {rle_s:.1f}s) -> device is "
+            log(f"[large] native baseline: {base_qps:,.0f} q/s ({nq} queries "
+                f"x5 best; exact match; host RLE {rle_s:.1f}s; load "
+                f"{load_1m:.2f}) -> device is "
                 f"{base['vs_baseline_native']}x")
         del rle
     except AssertionError:
@@ -451,12 +462,25 @@ def main():
         baseline_build_native, baseline_count_kmers_native,
     )
 
+    # Baseline stability (VERDICT r4 #6): this VM has ONE CPU core shared
+    # with the host process and the tunnel, so single-shot baseline timings
+    # drifted ~2x between rounds. Both baselines are now best-of-5 (the
+    # minimum is the contention-free estimate on a shared core — a median
+    # still mixes in interference), with the 1-minute loadavg recorded
+    # before the runs so a disturbed measurement is attributable.
+    baseline_load_1m = os.getloadavg()[0]
     rle = bytes_from_runs(*runs_from_symbols(decoded))
     n_cpu = 2_000 if tiny else 200_000
     n_cpu = min(n_cpu, B)
-    t0 = time.perf_counter()
-    cpu_counts = baseline_count_kmers_native(rle, kmers[:n_cpu], threads=1)
-    cpu_s = time.perf_counter() - t0
+    cpu_reps = 1 if tiny else 5
+    cpu_s, cpu_counts = None, None
+    for _ in range(cpu_reps):
+        t0 = time.perf_counter()
+        cpu_counts = baseline_count_kmers_native(rle, kmers[:n_cpu], threads=1)
+        dt = time.perf_counter() - t0
+        if cpu_counts is None:
+            break
+        cpu_s = dt if cpu_s is None else min(cpu_s, dt)
     if cpu_counts is None:  # no toolchain: slow Python fallback, tiny sample
         from rust_msbwt_tpu.models.rle_bwt import RleBWT
 
@@ -473,23 +497,28 @@ def main():
     _PARTIAL["vs_baseline"] = round(qps / cpu_qps, 2)
     assert cpu_counts.tolist() == counts[:n_cpu].tolist(), \
         "device/baseline count mismatch"
-    log(f"native baseline ({baseline_kind}): {cpu_qps:,.0f} q/s ({n_cpu} queries)")
+    log(f"native baseline ({baseline_kind}): {cpu_qps:,.0f} q/s "
+        f"({n_cpu} queries, best of {cpu_reps}; load {baseline_load_1m:.2f})")
 
-    # baseline build throughput on the same 10k-read config
-    t0 = time.perf_counter()
-    # slice rows to true lengths — padded tails would corrupt the baseline
-    base_dec = baseline_build_native(
-        [reads[i, : lengths[i]] for i in range(reads.shape[0])],
-        sorted_insert=True,
-    )
-    base_build_s = time.perf_counter() - t0
+    # baseline build throughput on the same 10k-read config (best-of-N, same
+    # rationale); rows sliced to true lengths — padded tails would corrupt it
+    ref_rows = [reads[i, : lengths[i]] for i in range(reads.shape[0])]
+    base_build_s, base_dec = None, None
+    for _ in range(cpu_reps):
+        t0 = time.perf_counter()
+        base_dec = baseline_build_native(ref_rows, sorted_insert=True)
+        dt = time.perf_counter() - t0
+        if base_dec is None:
+            break
+        base_build_s = dt if base_build_s is None else min(base_build_s, dt)
     base_build_mbases = (
         n_bases / base_build_s / 1e6 if base_dec is not None else None
     )
     if base_dec is not None:
         assert np.array_equal(base_dec, decoded), "baseline/TPU build mismatch"
         log(f"native baseline build: {base_build_s:.2f}s "
-            f"-> {base_build_mbases:.2f} Mbases/s (exact match)")
+            f"-> {base_build_mbases:.2f} Mbases/s (exact match, "
+            f"best of {cpu_reps})")
 
     # --- at-scale certification (E. coli 505M config) — the production
     # numbers; guarded so a large-scale hiccup cannot sink the whole bench
@@ -550,6 +579,9 @@ def main():
                 if base_build_mbases else None
             ),
             "baseline_query_qps": round(cpu_qps),
+            "baseline_reps": cpu_reps,
+            "baseline_load_1m": round(baseline_load_1m, 2),
+            "baseline_nproc": os.cpu_count(),
             "baseline_build_mbases_per_s": (
                 round(base_build_mbases, 3) if base_build_mbases else None
             ),
