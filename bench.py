@@ -34,6 +34,31 @@ def log(*a):
 # measured so far) and hard-exits if the bench overruns its deadline.
 _PARTIAL: dict = {}
 _DONE = False
+_T0 = time.time()
+
+
+def _deadline_s() -> float:
+    return float(os.environ.get("MSBWT_BENCH_DEADLINE_S", "2400"))
+
+
+def _compile_counter() -> dict:
+    """Count XLA backend compilations in this process. jaxlib 0.9's XLA:CPU
+    native layer segfaults late in a heavy many-compilation single-process
+    run (~150 compilations — see pyproject [tool.pytest.ini_options] and
+    ROADMAP "jaxlib single-process segfault"); the count is recorded in the
+    bench JSON so any future crash is immediately attributable."""
+    box = {"n": 0}
+    try:
+        import jax.monitoring
+
+        def _cb(name, *a, **kw):
+            if name == "/jax/core/compile/backend_compile_duration":
+                box["n"] += 1
+
+        jax.monitoring.register_event_duration_secs_listener(_cb)
+    except Exception:
+        pass
+    return box
 
 
 def emit(obj) -> None:
@@ -46,7 +71,7 @@ def _start_watchdog() -> None:
     import os
     import threading
 
-    deadline = float(os.environ.get("MSBWT_BENCH_DEADLINE_S", "2400"))
+    deadline = _deadline_s()
 
     def fire():
         if _DONE:
@@ -131,6 +156,11 @@ def run_large(reps: int = 3) -> dict:
     throughput is reported both device-side (repeat-inside, one-element
     sync — the rate a device-resident pipeline sees) and including the full
     result transfer over the host link."""
+    if os.environ.get("MSBWT_BENCH_FAKE_LARGE"):
+        # test hook: lets the CPU smoke exercise the --large-only subprocess
+        # plumbing (marker emission + parent parsing) without a 505M build
+        return {"query_qps_device": 12345, "vs_baseline_native": 1.0,
+                "fake": True}
     import time
 
     import jax
@@ -149,6 +179,7 @@ def run_large(reps: int = 3) -> dict:
     # to transport vs device (utils.profiling.session_health).
     from rust_msbwt_tpu.utils.profiling import session_health
 
+    compile_box = _compile_counter()
     health = session_health()
     log(f"[large] session health: {health}")
 
@@ -347,11 +378,13 @@ def run_large(reps: int = 3) -> dict:
         "query_qps_with_result_copy": round(B / q_full),
         "query_batch": B,
         "k": K,
+        "backend_compiles": compile_box["n"],
         "pipeline_seconds_steady": round(med + pair_s + cache_s + q_dev, 2),
     }
 
 
-def main():
+def _setup_jax():
+    """Platform + compile-cache setup shared by main() and --large-only."""
     import jax
 
     # the axon sitecustomize force-registers the TPU platform; honor an
@@ -367,6 +400,13 @@ def main():
         jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
     except Exception:
         pass
+
+
+def main():
+    import jax
+
+    _setup_jax()
+    compile_box = _compile_counter()
     import jax.numpy as jnp
 
     from rust_msbwt_tpu.ops.bcr import build_msbwt
@@ -523,12 +563,44 @@ def main():
     # --- at-scale certification (E. coli 505M config) — the production
     # numbers; guarded so a large-scale hiccup cannot sink the whole bench
     large = {}
-    if "--skip-large" not in sys.argv and not tiny:
-        try:
-            large = run_large(reps=3)
-        except Exception as e:
-            log(f"large config failed: {type(e).__name__}: {e}")
-            large = {"error": f"{type(e).__name__}: {e}"}
+    run_large_leg = "--skip-large" not in sys.argv and (
+        not tiny or bool(os.environ.get("MSBWT_BENCH_FAKE_LARGE"))
+    )
+    if run_large_leg:
+        if "--large-inproc" in sys.argv:
+            try:
+                large = run_large(reps=3)
+            except Exception as e:
+                log(f"large config failed: {type(e).__name__}: {e}")
+                large = {"error": f"{type(e).__name__}: {e}"}
+        else:
+            # Run the 505M section in a FRESH subprocess (guard for the
+            # jaxlib-0.9 many-compilation single-process segfault — see
+            # _compile_counter): the toy and large sections each stay far
+            # below the ~150-compilation crash profile, and a native crash
+            # in the large leg degrades to a recorded error instead of
+            # killing the whole bench. Compile caches are shared via
+            # jax_compilation_cache_dir, so the child pays no extra compile.
+            import subprocess
+
+            budget = max(300.0, _deadline_s() - (time.time() - _T0) - 120.0)
+            large = {"error": "large subprocess produced no result"}
+            try:
+                r = subprocess.run(
+                    [sys.executable, __file__, "--large-only"],
+                    env={**os.environ, "MSBWT_BENCH_NO_PREFLIGHT": "1"},
+                    stdout=subprocess.PIPE, timeout=budget,
+                )
+                for line in r.stdout.decode(errors="replace").splitlines():
+                    if line.startswith("LARGE_RESULT "):
+                        large = json.loads(line.split(" ", 1)[1])
+                if r.returncode != 0 and "error" not in large:
+                    large = {"error": f"large subprocess rc={r.returncode}"}
+            except subprocess.TimeoutExpired:
+                log(f"large subprocess exceeded {budget:.0f}s — killed")
+                large = {"error": f"large subprocess timeout {budget:.0f}s"}
+        if "error" in large:
+            log(f"large config failed: {large['error']}")
 
     # Headline = the production figure (505M-symbol E. coli index, device-side
     # q/s); the toy config stays in extra. Falls back to the toy number only
@@ -588,6 +660,7 @@ def main():
             "bwt_symbols": int(decoded.size),
             "query_batch": B,
             "k": K,
+            "backend_compiles": compile_box["n"],
             "baseline_note": "C++ implementation of the reference's exact "
                              "sequential query loop and B+-tree builder, "
                              "single-threaded (csrc/msbwt_baseline.cpp)",
@@ -596,6 +669,19 @@ def main():
 
 
 if __name__ == "__main__":
+    if "--large-only" in sys.argv:
+        # child mode for the subprocess-isolated 505M section (see main());
+        # AssertionErrors (count mismatches) propagate — a correctness
+        # failure must crash this leg loudly, not be recorded as a number
+        try:
+            _setup_jax()
+            _rec = run_large(reps=3)
+        except AssertionError:
+            raise
+        except Exception as _e:
+            _rec = {"error": f"{type(_e).__name__}: {_e}"}
+        print("LARGE_RESULT " + json.dumps(_rec), flush=True)
+        sys.exit(0)
     _start_watchdog()
     if not _preflight_tunnel():
         sys.exit(2)

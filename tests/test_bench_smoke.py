@@ -31,6 +31,24 @@ def test_bench_tiny_emits_one_json_line():
     assert rec["extra"]["toy_query_qps"] == rec["value"]  # tiny == toy path
 
 
+def test_bench_large_subprocess_plumbing():
+    """The 505M leg runs in a fresh subprocess (jaxlib-0.9 segfault guard);
+    this exercises the LARGE_RESULT marker round-trip with a stubbed
+    run_large so the parent parsing path is covered on CPU."""
+    env = {**os.environ, "JAX_PLATFORMS": "cpu",
+           "MSBWT_BENCH_NO_PREFLIGHT": "1",
+           "MSBWT_BENCH_FAKE_LARGE": "1"}
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py"), "--tiny"],
+        capture_output=True, text=True, timeout=600, env=env, cwd=REPO)
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = [ln for ln in r.stdout.splitlines() if ln.strip()]
+    assert len(lines) == 1, f"expected exactly one stdout line:\n{r.stdout}"
+    rec = json.loads(lines[0])
+    assert rec["extra"]["ecoli_505M"].get("fake") is True
+    assert rec["value"] == 12345  # headline took the (stub) 505M number
+
+
 def test_bench_no_retry_on_deterministic_errors():
     """A NameError-class bug must fail fast, not burn a second full
     hardware pass (round 3 re-ran ~8 min of TPU work into the same crash)."""
