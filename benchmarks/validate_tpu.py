@@ -62,6 +62,55 @@ def _knob_child() -> int:
     return 0
 
 
+def _rss_child(path: str, n_kmers: int = 200_000) -> int:
+    """Measure peak HOST memory for ``load_numpy_file`` + the first batched
+    query — the load-path contract (round-5): the host must not
+    double-materialize the decoded BWT, so the RSS *increment* over the
+    post-import baseline stays ~= the npy byte size (the reference's
+    load-from-compressed scaling, ref: src/rle_bwt.rs:14-24,81-155).
+
+    Run in a FRESH process (the parent launches it as a subprocess):
+    ``ru_maxrss`` is a high-water mark, so pre-existing allocations would
+    mask the measurement. Prints one JSON line."""
+    import json
+    import resource
+    import time
+
+    from rust_msbwt_tpu.models.rle_bwt import RleBWT
+
+    npy_bytes = os.path.getsize(path)
+    base_kb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    t0 = time.perf_counter()
+    bwt = RleBWT()
+    bwt.load_numpy_file(path)
+    t_load = time.perf_counter() - t0
+    rng = np.random.default_rng(99)
+    kmers = rng.integers(1, 6, size=(n_kmers, 21)).astype(np.uint8)
+    t0 = time.perf_counter()
+    counts = bwt.count_kmers(kmers)
+    t_query = time.perf_counter() - t0
+    peak_kb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    delta = (peak_kb - base_kb) * 1024
+    out = {
+        "npy_bytes": npy_bytes,
+        "n_symbols": bwt.get_total_size(),
+        "n_runs": bwt.n_runs,
+        "rss_base_bytes": base_kb * 1024,
+        "rss_peak_bytes": peak_kb * 1024,
+        "rss_delta_bytes": delta,
+        "rss_delta_over_npy": round(delta / max(npy_bytes, 1), 3),
+        "load_s": round(t_load, 2),
+        "first_query_s": round(t_query, 2),
+        "count_checksum": int(np.sum(counts) % (1 << 31)),
+    }
+    print("RSS_RESULT " + json.dumps(out), flush=True)
+    # contract: increment <= 1.2x the npy (plus a fixed 256 MB allowance for
+    # jax/XLA runtime growth during the first device program)
+    ok = delta <= 1.2 * npy_bytes + 256 * 2**20
+    print("RSS " + ("PASS" if ok else "FAIL"), flush=True)
+    return 0 if ok else 1
+
+
 def main() -> int:
     import jax.numpy as jnp
 
@@ -114,6 +163,18 @@ def main() -> int:
         save_bwt_runs(*runs_from_symbols(decoded), tmp.name)
         host = RleBWT()
         host.load_numpy_file(tmp.name)
+        # 3f. load-path host-memory contract (fresh subprocess; the real
+        # claim is measured at the 505M npy in the large bench session)
+        try:
+            r = subprocess.run(
+                [sys.executable, "-m", "benchmarks.validate_tpu",
+                 "--rss", tmp.name],
+                timeout=1200, capture_output=True, text=True,
+            )
+            sys.stdout.write(r.stdout)
+            check("load-path RSS contract (1M-symbol npy)", r.returncode == 0)
+        except subprocess.TimeoutExpired:
+            check("load-path RSS contract (1M-symbol npy)", False)
     check("10k roundtrip symbol counts",
           int(host.get_total_size()) == decoded.size)
     idx = build_occ_index(jnp.asarray(decoded))
@@ -306,4 +367,6 @@ def main() -> int:
 if __name__ == "__main__":
     if "--knob-child" in sys.argv:
         sys.exit(_knob_child())
+    if "--rss" in sys.argv:
+        sys.exit(_rss_child(sys.argv[sys.argv.index("--rss") + 1]))
     sys.exit(main())

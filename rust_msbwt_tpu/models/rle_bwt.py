@@ -25,7 +25,12 @@ import numpy as np
 from rust_msbwt_tpu.models.core import BWTBase, BWTRange
 from rust_msbwt_tpu.ops import rank as rank_ops
 from rust_msbwt_tpu.ops.alphabet import VC_LEN
-from rust_msbwt_tpu.ops.rle import decode_symbols, runs_from_bytes_with_offsets
+from rust_msbwt_tpu.ops.rle import (
+    decode_symbols,
+    decode_symbols_device,
+    rle_meta,
+    runs_from_bytes_with_offsets,
+)
 from rust_msbwt_tpu.utils.npy import load_bwt_bytes
 
 
@@ -90,13 +95,15 @@ class RleBWT(BWTBase):
         self.symbol_counts = np.zeros(VC_LEN, dtype=np.uint64)
         self.start_index = np.zeros(VC_LEN, dtype=np.uint64)
         self.end_index = np.zeros(VC_LEN, dtype=np.uint64)
-        self.fm_index = np.zeros((VC_LEN, 1), dtype=np.uint64)
-        self.ref_index = np.zeros(1, dtype=np.uint64)
         self.total_size = 0
-        self._decoded = np.zeros(0, dtype=np.uint8)
-        self._occ_np = np.zeros((1, VC_LEN), dtype=np.int64)
+        self.n_runs = 0
+        self._fm = None
+        self._decoded = None
+        self._decoded_padded = None
+        self._occ_np = None
         self._device_index: rank_ops.OccIndex | None = None
         self._packed_index = None
+        self._run_index = None
 
     @classmethod
     def with_bin_power(cls, bin_power: int) -> "RleBWT":
@@ -113,46 +120,75 @@ class RleBWT(BWTBase):
         self._standard_init()
 
     def _standard_init(self) -> None:
-        self._decoded = decode_symbols(self.bwt)
-        self.total_size = int(self._decoded.size)
-        # calculate_totals (ref: src/rle_bwt.rs:352-384)
-        self.symbol_counts = np.bincount(
-            self._decoded, minlength=VC_LEN
-        ).astype(np.uint64)
+        """Eager work is ONE chunked pass over the compressed bytes (the
+        equivalent of ``calculate_totals``, ref: src/rle_bwt.rs:352-384) —
+        peak host memory stays ~= the byte vector itself, matching the
+        reference's load-from-compressed scaling (ref: src/rle_bwt.rs:14-24).
+        Everything else — the parity FM tables, host scalar-rank
+        structures, the decoded array, every device index — is derived
+        lazily by the path that needs it."""
+        n, counts, n_runs = rle_meta(self.bwt)
+        self.total_size = n
+        self.n_runs = n_runs
+        self.symbol_counts = counts.astype(np.uint64)
         csum = np.cumsum(self.symbol_counts)
         self.start_index = (csum - self.symbol_counts).astype(np.uint64)
         self.end_index = csum.astype(np.uint64)
-        # parity FM-index (ref layout, ref: src/rle_bwt.rs:387-467)
-        self.ref_index, self.fm_index = build_sampled_fm_index(
-            self.bwt, self.bin_power
-        )
-        # host occ checkpoints for scalar queries
-        n = self.total_size
-        nb = max(1, -(-n // rank_ops.BIN))
-        padded = np.full(nb * rank_ops.BIN, 7, dtype=np.uint8)
-        padded[:n] = self._decoded
-        per_bin = (
-            padded.reshape(nb, rank_ops.BIN)[:, :, None]
-            == np.arange(VC_LEN, dtype=np.uint8)[None, None, :]
-        ).sum(axis=1)
-        self._occ_np = np.vstack(
-            [np.zeros((1, VC_LEN), np.int64), np.cumsum(per_bin, axis=0)]
-        )
-        self._decoded_padded = padded
-        self._device_index = None  # built lazily on first batched query
+        # drop every derived structure from a previously loaded BWT — they
+        # hold state of the OLD index and would silently return wrong counts
+        self._fm = None
+        self._decoded = None
+        self._decoded_padded = None
+        self._occ_np = None
+        self._device_index = None
         self._packed_index = None
-        # drop any k-mer cache / pair index from a previously loaded BWT —
-        # they hold state of the OLD index and would silently return wrong
-        # counts
+        self._run_index = None
         self._kmer_cache = None
         self._cache_k = 0
         self._pair_index = None
 
+    # --- parity FM-index, lazy (ref layout, ref: src/rle_bwt.rs:387-467) ---
+
+    @property
+    def fm_index(self) -> np.ndarray:
+        if self._fm is None:
+            self._fm = build_sampled_fm_index(self.bwt, self.bin_power)
+        return self._fm[1]
+
+    @property
+    def ref_index(self) -> np.ndarray:
+        if self._fm is None:
+            self._fm = build_sampled_fm_index(self.bwt, self.bin_power)
+        return self._fm[0]
+
+    def _host_rank_structs(self):
+        """Host occ checkpoints + padded decode for SCALAR queries — lazy:
+        the batched device path never materializes these."""
+        if self._occ_np is None:
+            self._decoded = decode_symbols(self.bwt)
+            n = self.total_size
+            nb = max(1, -(-n // rank_ops.BIN))
+            padded = np.full(nb * rank_ops.BIN, 7, dtype=np.uint8)
+            padded[:n] = self._decoded
+            per_bin = (
+                padded.reshape(nb, rank_ops.BIN)[:, :, None]
+                == np.arange(VC_LEN, dtype=np.uint8)[None, None, :]
+            ).sum(axis=1)
+            self._occ_np = np.vstack(
+                [np.zeros((1, VC_LEN), np.int64), np.cumsum(per_bin, axis=0)]
+            )
+            self._decoded_padded = padded
+        return self._occ_np, self._decoded_padded
+
     @property
     def device_index(self) -> rank_ops.OccIndex:
+        """Decoded device index, built by decoding the compressed bytes ON
+        DEVICE (``ops.rle.decode_symbols_device``): the wire carries the RLE
+        bytes and the host never holds the decoded array."""
         if self._device_index is None:
+            dec_dev = decode_symbols_device(self.bwt, self.total_size)
             self._device_index = rank_ops.build_occ_index(
-                self._decoded, self.total_size
+                dec_dev, self.total_size
             )
         return self._device_index
 
@@ -175,10 +211,11 @@ class RleBWT(BWTBase):
         return self.total_size
 
     def _rank(self, sym: int, pos: int) -> int:
+        occ_np, decoded_padded = self._host_rank_structs()
         b, r = divmod(pos, rank_ops.BIN)
-        base = int(self._occ_np[b, sym])
+        base = int(occ_np[b, sym])
         if r:
-            w = self._decoded_padded[b * rank_ops.BIN : b * rank_ops.BIN + r]
+            w = decoded_padded[b * rank_ops.BIN : b * rank_ops.BIN + r]
             base += int(np.count_nonzero(w == sym))
         return base
 
@@ -269,14 +306,83 @@ class RleBWT(BWTBase):
     # for 21-mers — rounds = ceil((21-k)/2) equals the 6^10 tier's count at
     # 80 MB / ~1 s (measured +70% q/s at 505M over cache-less pair search)
     CACHE_AUTO_K = 9
+    # the run tier's prefix cache is capped at 6^8 (run-tier cache build)
+    RUN_CACHE_AUTO_K = 8
+    # device bytes the decoded tiers may claim before the auto-policy
+    # switches to the run-compressed tier (v5e HBM is 16 GB; leave room for
+    # query batches and build buffers). Override: MSBWT_TPU_DEVICE_BUDGET_GB.
+    DEVICE_BUDGET_GB = 12.0
+
+    def enable_run_index(self) -> None:
+        """Build the run-length-compressed device tier (``ops.run_rank``):
+        ~2.5 B/run + 0.07 B/position instead of the decoded tiers'
+        1-9 B/position — the reference's query-from-compressed memory
+        scaling (ref: src/rle_bwt.rs:14-24), on device. Three dependent
+        gathers per rank vs the packed tier's one: a CAPACITY tier for
+        indexes the decoded tiers cannot fit."""
+        from rust_msbwt_tpu.ops.run_rank import build_run_index_from_bytes
+
+        self._run_index = build_run_index_from_bytes(self.bwt)
+
+    def _auto_run_tier(self) -> bool:
+        """True when the batched path should use the run tier: forced via
+        ``MSBWT_TPU_RUN_TIER=1``, or the decoded+pair tiers would exceed the
+        device budget while the run tier is smaller."""
+        import os
+
+        flag = os.environ.get("MSBWT_TPU_RUN_TIER")
+        if flag == "1":
+            return True
+        if flag == "0":
+            return False
+        n = self.total_size
+        pair_bytes = 9 * n  # decoded u8 (1 B) + pair rows (~8 B)/position
+        budget = float(
+            os.environ.get("MSBWT_TPU_DEVICE_BUDGET_GB",
+                           self.DEVICE_BUDGET_GB)
+        ) * 1e9
+        if pair_bytes <= budget:
+            return False
+        from rust_msbwt_tpu.ops import run_rank
+
+        run_bytes = (
+            run_rank.LANES * 4 * -(-self.n_runs // run_rank.RB)
+            + 4 * (n // run_rank.SP)
+        )
+        return run_bytes < pair_bytes
 
     def count_kmers(self, kmers, lengths=None) -> np.ndarray:
         """Batched device path — the production query engine. Indexes past
         ``PAIR_AUTO_MIN_SYMBOLS`` automatically build and use the 2-step
         pair index plus a 6^9 prefix-range cache (disable with
-        ``MSBWT_TPU_NO_PAIR=1`` / ``MSBWT_TPU_NO_CACHE=1``)."""
+        ``MSBWT_TPU_NO_PAIR=1`` / ``MSBWT_TPU_NO_CACHE=1``); indexes whose
+        decoded tiers would blow the device budget use the run-compressed
+        tier instead (``MSBWT_TPU_RUN_TIER`` forces/disables)."""
         import os
 
+        if self._run_index is None and self._pair_index is None \
+                and self._auto_run_tier():
+            self.enable_run_index()
+        if self._run_index is not None:
+            from rust_msbwt_tpu.ops.run_rank import (
+                build_kmer_cache_runs,
+                count_kmers_runs,
+            )
+
+            if (
+                not getattr(self, "_cache_k", 0)
+                and self.total_size >= self.PAIR_AUTO_MIN_SYMBOLS
+                and not os.environ.get("MSBWT_TPU_NO_CACHE")
+            ):
+                self._kmer_cache = build_kmer_cache_runs(
+                    self._run_index, self.RUN_CACHE_AUTO_K
+                )
+                self._cache_k = self.RUN_CACHE_AUTO_K
+            return count_kmers_runs(
+                self._run_index, kmers, lengths,
+                cache=getattr(self, "_kmer_cache", None),
+                cache_k=getattr(self, "_cache_k", 0),
+            )
         if (
             getattr(self, "_pair_index", None) is None
             and self.total_size >= self.PAIR_AUTO_MIN_SYMBOLS

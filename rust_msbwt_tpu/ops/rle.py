@@ -122,6 +122,114 @@ def decode_symbols(rle: np.ndarray) -> np.ndarray:
     return np.repeat(syms, counts.astype(np.int64))
 
 
+def _run_aligned_bounds(rle: np.ndarray, chunk: int):
+    """Yield ``(i, j)`` chunk bounds that never split a run. Extending a
+    boundary to the next symbol change costs <= 6 byte probes (a run's
+    base-32 digit string has <= 7 bytes below 2^31 and same-symbol runs are
+    never adjacent, ref: src/bwt_converter.rs:136)."""
+    i, total = 0, int(rle.size)
+    while i < total:
+        j = min(i + chunk, total)
+        if j < total:
+            s = rle[j - 1] & MASK
+            while j < total and (rle[j] & MASK) == s:
+                j += 1
+        yield i, j
+        i = j
+
+
+def rle_meta(rle: np.ndarray, chunk: int = 1 << 22):
+    """One CHUNKED pass over the compressed bytes: ``(n, symbol_counts, runs)``.
+
+    The load path's eager host work (the equivalent of ``calculate_totals``,
+    ref: src/rle_bwt.rs:352-384) — peak temporary memory is O(chunk), so
+    loading a multi-GB BWT never materializes position- or run-proportional
+    host arrays beyond the byte vector itself.
+    """
+    rle = np.asarray(rle, dtype=np.uint8)
+    n = 0
+    n_runs = 0
+    counts = np.zeros(VC_LEN, dtype=np.uint64)
+    for i, j in _run_aligned_bounds(rle, chunk):
+        syms, rcounts = runs_from_bytes(rle[i:j])
+        n += int(rcounts.sum())
+        n_runs += int(syms.size)
+        for s in range(VC_LEN):
+            counts[s] += int(rcounts[syms == s].sum())
+    return n, counts, n_runs
+
+
+def _upload_bytes(rle: np.ndarray, chunk: int = 1 << 22):
+    """Host->device transfer of the raw byte vector in bounded chunks (the
+    host never pins more than ``chunk`` bytes beyond the vector itself)."""
+    import jax
+    import jax.numpy as jnp
+
+    rle = np.asarray(rle, dtype=np.uint8)
+    if rle.size <= chunk:
+        return jnp.asarray(rle)
+    parts = [jax.device_put(rle[i : i + chunk])
+             for i in range(0, rle.size, chunk)]
+    return jnp.concatenate(parts)
+
+
+def decode_symbols_device(rle: np.ndarray, n: int):
+    """Decode RLE bytes into the flat symbol array ON DEVICE (uint8 [n]).
+
+    The wire carries the COMPRESSED bytes (<= the decoded size, usually far
+    less) and the host never materializes the decoded array — the fix for
+    the load path's host double-materialization. ``n`` must be the true
+    decoded length (from :func:`rle_meta`); device work is a boundary scan +
+    one ``jnp.repeat`` where each byte contributes its base-32 digit term
+    ``digit * 32^k`` directly (all bytes of a run carry the same symbol, so
+    per-byte repeats compose to exactly the run, in order).
+    """
+    import jax.numpy as jnp
+
+    if n >= 2**31:
+        raise ValueError("decode_symbols_device requires n < 2^31")
+    rle = np.asarray(rle, dtype=np.uint8)
+    if rle.size == 0:
+        return jnp.zeros(0, dtype=jnp.uint8)
+    return _decode_device_impl(_upload_bytes(rle), n)
+
+
+_DECODE_JIT = None
+
+
+def _decode_device_impl(rle, n: int):
+    """jit-compiled device decode (jax imported lazily — this module is
+    otherwise numpy-only host code)."""
+    global _DECODE_JIT
+    if _DECODE_JIT is None:
+        import jax
+
+        _DECODE_JIT = jax.jit(_decode_device_jit_fn, static_argnames=("n",))
+    return _DECODE_JIT(rle, n=n)
+
+
+def _decode_device_jit_fn(rle, *, n: int):
+    import jax
+    import jax.numpy as jnp
+
+    sym = rle & np.uint8(MASK)
+    digit = (rle >> LETTER_BITS).astype(jnp.int32)
+    m = rle.shape[0]
+    ar = jnp.arange(m, dtype=jnp.int32)
+    boundary = jnp.concatenate(
+        [jnp.ones(1, dtype=bool), sym[1:] != sym[:-1]]
+    )
+    run_start = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(boundary, ar, 0)
+    )
+    # digit index within the run; <= 6 for any valid n < 2^31 (a count's
+    # base-32 string has <= 7 digits) — clamped so corrupt input cannot
+    # produce an undefined >= 32-bit shift
+    k = jnp.minimum(ar - run_start, 6)
+    term = digit << (5 * k)  # == digit * 32^k, <= the run count < 2^31
+    return jnp.repeat(sym, term, total_repeat_length=n)
+
+
 def symbol_counts_from_bytes(rle: np.ndarray) -> np.ndarray:
     """Total occurrences of each symbol, from the compressed form
     (equivalent of ``calculate_totals``, ref: src/rle_bwt.rs:352-384)."""

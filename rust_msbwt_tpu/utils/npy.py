@@ -84,13 +84,17 @@ def load_bwt_bytes(filename: str) -> np.ndarray:
                 f"Header indicates shape of {expected_length}, but remaining "
                 f"file size is {bwt_disk_size}"
             )
-        body = fp.read()
-        if len(body) != bwt_disk_size:
+        # readinto a preallocated array: fp.read() + frombuffer().copy()
+        # would hold TWO npy-sized host buffers at peak (load-path RSS
+        # contract: benchmarks/validate_tpu._rss_child)
+        body = np.empty(bwt_disk_size, dtype=np.uint8)
+        got = fp.readinto(memoryview(body))
+        if got != bwt_disk_size:
             raise IOError(
-                f"Only read {len(body)} of {bwt_disk_size} bytes of BWT body "
+                f"Only read {got} of {bwt_disk_size} bytes of BWT body "
                 f"for file {filename!r}"
             )
-    return np.frombuffer(body, dtype=np.uint8).copy()
+    return body
 
 
 def _parse_header_dict(raw: bytes) -> dict:

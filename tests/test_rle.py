@@ -93,3 +93,52 @@ def test_random_round_trip(rng):
         s2, c2 = runs_from_bytes(bytes_from_runs(syms, counts))
         assert s2.tolist() == syms.tolist()
         assert c2.tolist() == counts.tolist()
+
+
+def test_rle_meta_chunked_parity(rng):
+    from rust_msbwt_tpu.ops.rle import rle_meta
+
+    for _ in range(10):
+        n_runs = int(rng.integers(1, 300))
+        syms = rng.integers(0, 6, n_runs).astype(np.uint8)
+        for i in range(1, n_runs):
+            if syms[i] == syms[i - 1]:
+                syms[i] = (syms[i] + 1) % 6
+        counts = rng.integers(1, 200000, n_runs).astype(np.uint64)
+        vec = bytes_from_runs(syms, counts)
+        # tiny chunk: every boundary exercises the run-aligned extension
+        n, tot, r = rle_meta(vec, chunk=7)
+        assert n == int(counts.sum())
+        assert tot.tolist() == symbol_counts_from_bytes(vec).tolist()
+        assert r == n_runs
+
+
+def test_decode_symbols_device_parity(rng):
+    from rust_msbwt_tpu.ops.rle import decode_symbols_device, rle_meta
+
+    for _ in range(6):
+        n_runs = int(rng.integers(1, 120))
+        syms = rng.integers(0, 6, n_runs).astype(np.uint8)
+        for i in range(1, n_runs):
+            if syms[i] == syms[i - 1]:
+                syms[i] = (syms[i] + 1) % 6
+        # include multi-digit runs (zero interior digits) and singletons
+        counts = rng.integers(1, 40000, n_runs).astype(np.uint64)
+        vec = bytes_from_runs(syms, counts)
+        n, _, _ = rle_meta(vec)
+        dev = np.asarray(decode_symbols_device(vec, n))
+        assert np.array_equal(dev, decode_symbols(vec))
+
+
+def test_decode_symbols_device_chunked_upload():
+    from rust_msbwt_tpu.ops.rle import _upload_bytes, decode_symbols
+
+    vec = convert_to_vec("GTN$$ACCC$G" * 50)
+    dev = np.asarray(_upload_bytes(vec, chunk=13))
+    assert np.array_equal(dev, vec)
+
+
+def test_decode_symbols_device_empty():
+    from rust_msbwt_tpu.ops.rle import decode_symbols_device
+
+    assert np.asarray(decode_symbols_device(np.zeros(0, np.uint8), 0)).size == 0
