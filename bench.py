@@ -289,17 +289,32 @@ def run_large(reps: int = 3) -> dict:
             log(f"[large] 6^{ck} cache failed: {type(e).__name__}: {e}")
             deep[f"cache{ck}_error"] = f"{type(e).__name__}"
 
-    # at-scale native baseline: the reference's sequential query loop (C++,
-    # csrc/msbwt_baseline.cpp) against the SAME 505M index, so the headline's
-    # vs_baseline is apples-to-apples. Guarded — needs a ~0.5 GB host copy.
-    base = {}
+    # host RLE copy of the built BWT — shared by the native baseline and the
+    # load-path RSS measurement. Guarded: needs a ~0.5 GB host copy.
+    rle = None
+    rle_s = 0.0
+    n_runs_505 = 0
     try:
         from rust_msbwt_tpu.ops.rle import bytes_from_runs, runs_from_symbols
-        from rust_msbwt_tpu.utils.native import baseline_count_kmers_native
 
         t0 = time.perf_counter()
-        rle = bytes_from_runs(*runs_from_symbols(np.asarray(idx.bwt)))
+        rsyms, rcounts = runs_from_symbols(np.asarray(idx.bwt))
+        n_runs_505 = int(rsyms.size)
+        rle = bytes_from_runs(rsyms, rcounts)
+        del rsyms, rcounts
         rle_s = time.perf_counter() - t0
+    except Exception as e:
+        log(f"[large] host RLE encode failed: {type(e).__name__}: {e}")
+
+    # at-scale native baseline: the reference's sequential query loop (C++,
+    # csrc/msbwt_baseline.cpp) against the SAME 505M index, so the headline's
+    # vs_baseline is apples-to-apples.
+    base = {}
+    try:
+        if rle is None:
+            raise RuntimeError("no host RLE copy")
+        from rust_msbwt_tpu.utils.native import baseline_count_kmers_native
+
         nq = 20_000
         sample = np.asarray(kmers[:nq])
         # best-of-5 on the shared single core (VERDICT r4 #6): the minimum
@@ -327,7 +342,6 @@ def run_large(reps: int = 3) -> dict:
                 f"x5 best; exact match; host RLE {rle_s:.1f}s; load "
                 f"{load_1m:.2f}) -> device is "
                 f"{base['vs_baseline_native']}x")
-        del rle
     except AssertionError:
         # a device/baseline COUNT MISMATCH is a correctness signal, not a
         # transient baseline hiccup — fail the whole bench loudly (the
@@ -356,9 +370,55 @@ def run_large(reps: int = 3) -> dict:
         f"query {query_fol:.3f} (cache_k={best_ck}; HBM spec "
         f"{DEFAULT_HBM_BW/1e9:.0f} GB/s)")
 
+    # load-path host-memory contract at real scale (round-5): a fresh
+    # subprocess loads the 505M npy and runs one batched query; its RSS
+    # increment over the post-import baseline must stay ~= the npy size
+    # (benchmarks/validate_tpu._rss_child). The parent's device arrays are
+    # freed first so the child has HBM headroom.
+    n_sym = int(idx.n)
+    rss = {}
+    if rle is not None and not os.environ.get("MSBWT_BENCH_NO_RSS"):
+        try:
+            import subprocess
+
+            from rust_msbwt_tpu.utils.npy import save_bwt_bytes
+
+            npy_path = "/tmp/msbwt_bench_505M.npy"
+            save_bwt_bytes(rle, npy_path)
+            # informational: what the run-compressed tier would cost here
+            # (the 505M random-genome BWT is LOW-compression — mean run
+            # ~1.8 — so the decoded tiers stay the right choice; the run
+            # tier targets high-coverage collections)
+            from rust_msbwt_tpu.ops import run_rank
+
+            run_tier_bytes = (
+                run_rank.LANES * 4 * -(-n_runs_505 // run_rank.RB)
+                + 4 * (n_sym // run_rank.SP)
+            )
+            del rle, idx, packed, pidx, cache, out
+            r = subprocess.run(
+                [sys.executable, "-m", "benchmarks.validate_tpu",
+                 "--rss", npy_path],
+                timeout=900, capture_output=True, text=True,
+                env={**os.environ},
+            )
+            for line in r.stdout.splitlines():
+                if line.startswith("RSS_RESULT "):
+                    rss = json.loads(line.split(" ", 1)[1])
+                    rss["rss_pass"] = "RSS PASS" in r.stdout
+            if not rss:
+                rss = {"rss_error": f"rss child rc={r.returncode}"}
+            rss["run_tier_bytes_per_pos"] = round(run_tier_bytes / n_sym, 3)
+            rss["mean_run_len"] = round(n_sym / max(n_runs_505, 1), 2)
+            log(f"[large] load-path RSS: {rss}")
+        except Exception as e:
+            log(f"[large] RSS child failed: {type(e).__name__}: {e}")
+            rss = {"rss_error": f"{type(e).__name__}"}
+
     return {
         **base,
-        "bwt_symbols": int(idx.n),
+        **rss,
+        "bwt_symbols": n_sym,
         **health,
         "build_fol": round(build_fol, 4),
         "query_fol": round(query_fol, 4),
