@@ -27,6 +27,8 @@ import time
 
 import numpy as np
 
+sys.path.insert(0, "/root/repo")
+
 
 def main() -> int:
     sizes_m = [int(x) for x in sys.argv[1:]] or [16, 64, 256, 505]

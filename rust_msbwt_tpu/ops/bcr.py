@@ -592,27 +592,31 @@ def build_radix(n_cap: int | None = None, n_reads: int | None = None,
                 n_base: int = 0) -> int:
     """Columns consumed per merge pass on the Pallas engine.
 
-    Short reads: radix 2 is a measured LOSS on the flagship config —
-    505M symbols as 5M x 100bp went 41.4 -> 113.9 s (round 3) because
-    the double-stage's [N]-sized corrections (argsort, scatter,
-    sort-based searchsorted, extra rank gather) exceed the ~125 ms
-    capacity-proportional merge saving at N=5M. The overhead is
-    N-proportional and the saving capacity-proportional, so LONG reads
-    flip the sign: the round-4 variance-immune A/B (interleaved
-    rounds, order flipped each round, median of per-round ratios,
-    health-gated — probes/probe_radix2.py) measured a WIN at
-    500k x 1000bp: median 1.180x, all 9 rounds in agreement (1.06-1.38).
+    The double-stage's [N]-sized corrections (argsort, scatter,
+    sort-based searchsorted, extra rank gather) are N-proportional while
+    the merge saving is capacity-proportional, so the sign flips with
+    read LENGTH at fixed total symbols. The boundary is pinned by FOUR
+    interleaved A/Bs at ~500M symbols (probes/probe_radix2.py protocol:
+    arms alternate per round, order flipped each round, median of
+    per-round ratios; rounds 4-5, logs r5_radix*.log):
 
-    Auto therefore selects radix 2 when the mean sequence length OF THE
-    NEW BATCH is >= 500 (the measured-win regime; the measured-loss
-    point is L=100, and the N-proportional correction cost shrinks with
-    1/L at fixed capacity). For extend flows ``n_base`` (the existing
-    base length, part of ``n_cap``) is subtracted first so that
-    extending a large base with a small batch of short reads does not
-    silently land in the unmeasured radix-2 regime.
+        L=100  (5M reads):   0.36x  (41.4 -> 113.9 s, round 3) — loss
+        L=250  (2M reads):   0.918x median of 7 rounds          — loss
+        L=500  (1M reads):   0.975x median of 7 rounds          — break-even
+        L=1000 (500k reads): 1.180x median of 9 rounds, all>1   — WIN
+
+    Auto therefore selects radix 2 only when the mean sequence length
+    OF THE NEW BATCH is >= 1000 (the measured-win point; break-even is
+    somewhere in (500, 1000) — flipping at measured-even 500 would buy
+    nothing and risk the regression the L=250 arm shows). For extend
+    flows ``n_base`` (the existing base length, part of ``n_cap``) is
+    subtracted first so that extending a large base with a small batch
+    of short reads does not silently land in the radix-2 regime.
     ``MSBWT_TPU_RADIX=1|2`` forces either.
 
     >>> build_radix(505_000_000, 5_000_000)   # 100bp short reads
+    1
+    >>> build_radix(500_500_000, 1_000_000)   # 500bp: measured break-even
     1
     >>> build_radix(500_500_000, 500_000)     # 1000bp long reads
     2
@@ -628,7 +632,7 @@ def build_radix(n_cap: int | None = None, n_reads: int | None = None,
         return 2
     if v == "1":
         return 1
-    if n_cap and n_reads and (n_cap - n_base) / n_reads >= 501:  # mean L>=500
+    if n_cap and n_reads and (n_cap - n_base) / n_reads >= 1000:
         return 2
     return 1
 
