@@ -13,8 +13,9 @@ Checks:
   4. extend flow (base + new batch) parity across engines,
   5. opt-in perf layouts on real hardware: pair-fast stream, 60-lane pair
      rows, bucket growth (in-process env), and — via subprocesses, because
-     they are read at import — legacy 128-lane table rows, CS=32/128 merge
-     chunks, and DMA depth 4. (The int16-phys and INS8 levers were measured
+     they are read at import — legacy 128-lane table rows, CS=32/64 merge
+     chunks (64 was the default before the round-5 505M A/B moved it to
+     128), and DMA depth 4. (The int16-phys and INS8 levers were measured
      and deleted in round 4 — BASELINE.md decision table.)
 
 Prints PASS/FAIL per check; exits nonzero on any failure.
@@ -343,6 +344,7 @@ def main() -> int:
         {"MSBWT_TPU_BUCKET_GROWTH": "2"},      # legacy growth factor
         {"MSBWT_TPU_TABLE64": "0"},            # legacy 128-lane table rows
         {"MSBWT_TPU_MERGE_CS": "32"},
+        {"MSBWT_TPU_MERGE_CS": "64"},   # the pre-round-5 default
         {"MSBWT_TPU_MERGE_CS": "128", "MSBWT_TPU_TABLE64": "0"},
         {"MSBWT_TPU_DMA_DEPTH": "4"},
     ):

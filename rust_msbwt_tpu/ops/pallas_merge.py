@@ -67,32 +67,32 @@ from jax.experimental.pallas import tpu as pltpu
 # chunk geometry: CS sublane rows of 128 lanes per grid step. Must be >= 16
 # so the wide path's 8-row pair slice stays inside the 3*CS-row window;
 # CS > 128 grows the row-prefix weight plane to CSxCS (see _wtab_np).
-# Swept 16/32/64/128 on hardware AT 16M: 64 wins with the 3-view fast path
-# (bigger pipeline blocks) — 32 was optimal for the old per-row
-# reconstruction. At 505M the pass runs ~3x below its 16M bandwidth
-# (~33 GB/s vs ~110), suggesting per-chunk overhead dominates at scale —
-# env MSBWT_TPU_MERGE_CS re-sweeps without an edit (read once at import;
-# the chunk size shapes bucket alignment and phys layouts everywhere).
+# Sweep history: at 16M symbols 64 won (hardware sweep 16/32/64/128, round
+# 2); at the 505M flagship the round-5 interleaved A/B (r5_cs.log, BASELINE
+# round-5 table) measured CS=128 at a ~1.09x clean-round median vs 64
+# (arm medians 29.5 s vs 32.3 s) and CS=256 at ~1.04x (below the 5% bar)
+# — so the DEFAULT is 128. Env MSBWT_TPU_MERGE_CS re-sweeps without an
+# edit (read once at import; the chunk size shapes bucket alignment and
+# phys layouts everywhere).
 def _cs_from_env() -> int:
     import os
     import sys
 
-    raw = os.environ.get("MSBWT_TPU_MERGE_CS", "64")
+    raw = os.environ.get("MSBWT_TPU_MERGE_CS", "128")
     try:
         cs = int(raw)
     except ValueError:
         cs = -1
     # Power of two in [16, 256]. CS=256 (a 32768-element chunk, ~128 KB of
-    # int32 per window buffer) is well inside VMEM and is the arm that
-    # tests whether per-chunk overhead dominates at the 505M scale.
+    # int32 per window buffer) is well inside VMEM.
     if cs < 16 or cs > 256 or cs & (cs - 1):
-        if raw != "64":
-            # A silently-clamped sweep arm reports CS=64 numbers under a
+        if raw != "128":
+            # A silently-clamped sweep arm reports CS=128 numbers under a
             # wrong label — reject loudly instead.
             print(f"WARNING: MSBWT_TPU_MERGE_CS={raw!r} invalid "
-                  "(need power of two in [16, 256]); using 64",
+                  "(need power of two in [16, 256]); using 128",
                   file=sys.stderr, flush=True)
-        return 64
+        return 128
     return cs
 
 
