@@ -77,6 +77,10 @@ def main():
     kmers = jnp.asarray(kmers_np)
     qlens = jnp.full(B, K, jnp.int32)
 
+    if "--direct-only" in sys.argv:
+        _direct(genome, starts, N, L)
+        return
+
     # --- 1. partitioned: P sequential per-device programs ---
     total = np.zeros(B, np.int64)
     t_all = time.perf_counter()
@@ -126,6 +130,14 @@ def main():
     # --- 2. direct 1.01G single-device build (guarded) ---
     if "--skip-direct" in sys.argv:
         return
+    _direct(genome, starts, N, L)
+
+
+def _direct(genome, starts, N, L):
+    import numpy as np
+
+    from rust_msbwt_tpu.ops.bcr import build_msbwt_with_index
+
     try:
         reads = genome[starts[:, None] + np.arange(L)[None, :]]
         lengths = np.full(N, L, np.int32)
@@ -141,9 +153,11 @@ def main():
             "build_mbases_per_s": round(N * L / t_build / 1e6, 1),
         }), flush=True)
     except Exception as e:
+        # full error to stderr for attribution (the JSON line keeps a stub)
+        log(f"direct 1G failure detail: {type(e).__name__}: {e}")
         print(json.dumps({
             "config": "direct_1G_build",
-            "error": f"{type(e).__name__}: {e}"[:200],
+            "error": f"{type(e).__name__}: {e}"[:400],
         }), flush=True)
 
 

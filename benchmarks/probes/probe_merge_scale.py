@@ -113,6 +113,45 @@ def main() -> int:
             f"prep overhead {(t_full - t_kern)*1e3:7.1f} ms",
             flush=True,
         )
+
+        if "--prep" in sys.argv:
+            # break the prep down: which pass eats the 505M overhead?
+            def timeit(f, *args, label=""):
+                sync(f(*args))
+                t0 = time.perf_counter()
+                for _ in range(reps):
+                    out = f(*args)
+                sync(out)
+                dt = (time.perf_counter() - t0) / reps
+                print(f"    prep[{label}] {dt*1e3:8.2f} ms", flush=True)
+                return dt
+
+            qp = qd + CHUNK
+            v8 = vd.astype(jnp.int8)
+
+            def scat_plain(qp, v8):
+                return (jnp.zeros(total, jnp.int8).at[qp]
+                        .set(v8 + 1, mode="drop").reshape(rows, 128))
+
+            def scat_sorted(qp, v8):
+                return (jnp.zeros(total, jnp.int8).at[qp]
+                        .set(v8 + 1, mode="drop", indices_are_sorted=True,
+                             unique_indices=True).reshape(rows, 128))
+
+            def scat_sorted_i32(qp, vd):
+                return (jnp.zeros(total, jnp.int32).at[qp]
+                        .set(vd + 1, mode="drop", indices_are_sorted=True,
+                             unique_indices=True).reshape(rows, 128))
+
+            timeit(jax.jit(scat_plain), qp, v8, label="ins scatter (plain)")
+            timeit(jax.jit(scat_sorted), qp, v8,
+                   label="ins scatter (sorted+unique)")
+            timeit(jax.jit(scat_sorted_i32), qp, vd,
+                   label="ins scatter i32 (sorted+unique)")
+            timeit(jax.jit(_tmap_from_delta), (ins > 0).astype(jnp.int32),
+                   label="tmap two-level cumsum")
+            timeit(jax.jit(lambda t, i: (t << 3) | i.astype(jnp.int32)),
+                   tmap, ins, label="ti pack")
     return 0
 
 

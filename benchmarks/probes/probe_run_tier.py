@@ -36,11 +36,12 @@ def main() -> int:
     rng = np.random.default_rng(0x20B)
     mean_run = 40
     n_runs = n_target // mean_run
-    # alternating-symbol maximal runs (format invariant: no two adjacent
-    # runs share a symbol), geometric-ish lengths averaging ~mean_run
-    syms = rng.integers(0, 6, n_runs).astype(np.uint8)
-    dup = syms[1:] == syms[:-1]
-    syms[1:][dup] = (syms[1:][dup] + 1) % 6
+    # maximal runs with NO two adjacent equal symbols (the byte-format
+    # invariant — adjacent same-symbol runs would DECODE as one multi-digit
+    # run): successive symbols differ by a random step in 1..5 mod 6, so
+    # collisions are impossible by construction
+    steps = rng.integers(1, 6, n_runs, dtype=np.int64)
+    syms = (np.cumsum(steps) % 6).astype(np.uint8)
     lens = rng.geometric(1.0 / mean_run, n_runs).astype(np.int64)
     n = int(lens.sum())
     assert n < 2**31, n
