@@ -31,7 +31,8 @@ sys.path.insert(0, "/root/repo")
 
 
 def main() -> int:
-    sizes_m = [int(x) for x in sys.argv[1:]] or [16, 64, 256, 505]
+    sizes_m = [int(x) for x in sys.argv[1:]
+               if not x.startswith("-")] or [16, 64, 256, 505]
 
     import jax
     import jax.numpy as jnp
