@@ -444,6 +444,12 @@ def merge_insert_phys(old_phys, q, v, active, *, interpret=False):
     qp = jnp.where(active, q + CHUNK, total)  # phys coords; inactive -> dropped
     # int8 insertion stream: the scatter target, the tmap-delta read and the
     # pack read all shrink 4x vs int32 (values are v+1 <= 6)
+    # NOTE: scatter flags (indices_are_sorted/unique_indices) measured a
+    # ~14% scatter win at 505M (53.7 -> 46.2 ms, r5_prep.log) but are
+    # UNSAFE here: inactive slots all map to the same out-of-range index,
+    # violating both promises (undefined behavior). Claiming them requires
+    # first compacting/re-encoding the inactive entries — see ROADMAP
+    # "round-6 lever" for the design that deletes this scatter entirely.
     ins = (
         jnp.zeros(total, jnp.int8)
         .at[qp]
