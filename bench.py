@@ -395,25 +395,25 @@ def run_large(reps: int = 3) -> dict:
                 run_rank.LANES * 4 * -(-n_runs_505 // run_rank.RB)
                 + 4 * (n_sym // run_rank.SP)
             )
+            rss["run_tier_bytes_per_pos"] = round(run_tier_bytes / n_sym, 3)
+            rss["mean_run_len"] = round(n_sym / max(n_runs_505, 1), 2)
             del rle, idx, packed, pidx, cache, out
             r = subprocess.run(
                 [sys.executable, "-m", "benchmarks.validate_tpu",
                  "--rss", npy_path],
-                timeout=900, capture_output=True, text=True,
+                timeout=1800, capture_output=True, text=True,
                 env={**os.environ},
             )
             for line in r.stdout.splitlines():
                 if line.startswith("RSS_RESULT "):
-                    rss = json.loads(line.split(" ", 1)[1])
+                    rss.update(json.loads(line.split(" ", 1)[1]))
                     rss["rss_pass"] = "RSS PASS" in r.stdout
-            if not rss:
-                rss = {"rss_error": f"rss child rc={r.returncode}"}
-            rss["run_tier_bytes_per_pos"] = round(run_tier_bytes / n_sym, 3)
-            rss["mean_run_len"] = round(n_sym / max(n_runs_505, 1), 2)
+            if "rss_pass" not in rss:
+                rss["rss_error"] = f"rss child rc={r.returncode}"
             log(f"[large] load-path RSS: {rss}")
         except Exception as e:
             log(f"[large] RSS child failed: {type(e).__name__}: {e}")
-            rss = {"rss_error": f"{type(e).__name__}"}
+            rss["rss_error"] = f"{type(e).__name__}"
 
     return {
         **base,

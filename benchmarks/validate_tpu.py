@@ -77,6 +77,14 @@ def _rss_child(path: str, n_kmers: int = 200_000) -> int:
     import resource
     import time
 
+    import jax
+
+    try:  # persistent cache: a cacheless child recompiles the whole query
+        # stack at 505M and blows its caller's timeout (round-5 bench)
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+    except Exception:
+        pass
+
     from rust_msbwt_tpu.models.rle_bwt import RleBWT
 
     npy_bytes = os.path.getsize(path)
