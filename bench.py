@@ -398,10 +398,18 @@ def run_large(reps: int = 3) -> dict:
             rss["run_tier_bytes_per_pos"] = round(run_tier_bytes / n_sym, 3)
             rss["mean_run_len"] = round(n_sym / max(n_runs_505, 1), 2)
             del rle, idx, packed, pidx, cache, out
+            # the child can stall for many minutes at backend attach (the
+            # round-5 warm-stall pathology) — never let it eat the bench
+            # deadline; skip when the remaining budget is thin
+            remaining = _deadline_s() - (time.time() - _T0)
+            rss_timeout = min(900.0, remaining - 600.0)
+            if rss_timeout < 240.0:
+                raise RuntimeError(
+                    f"skipped: {remaining:.0f}s of bench budget left")
             r = subprocess.run(
                 [sys.executable, "-m", "benchmarks.validate_tpu",
                  "--rss", npy_path],
-                timeout=1800, capture_output=True, text=True,
+                timeout=rss_timeout, capture_output=True, text=True,
                 env={**os.environ},
             )
             for line in r.stdout.splitlines():
@@ -413,7 +421,7 @@ def run_large(reps: int = 3) -> dict:
             log(f"[large] load-path RSS: {rss}")
         except Exception as e:
             log(f"[large] RSS child failed: {type(e).__name__}: {e}")
-            rss["rss_error"] = f"{type(e).__name__}"
+            rss["rss_error"] = f"{type(e).__name__}: {e}"[:120]
 
     return {
         **base,
